@@ -1,0 +1,212 @@
+"""Wavefront Whitted tracer — the TPU-native form of the reference's
+recursive ``Ray.nearestSphereIntersect`` (RL/ray.py:160-231).
+
+The reference recurses per ray with Python objects; here the *entire ray
+population* advances together through a bounded ``lax.fori_loop`` over
+recursion levels, with per-lane masks selecting among {miss, terminal,
+mirror, refract-walk} — no data-dependent control flow, so XLA fuses the
+whole walk into one kernel.
+
+Faithful recursion semantics (the tricky part, see SURVEY.md §7 "hard
+parts"):
+
+* A level entered with ``bounces > max_bounces`` returns None
+  (RL/ray.py:173-174).
+* ``reflective == True`` (exact value 1 — Python ``0.95 == True`` is False!)
+  → bounce with ``suppress_ids=[hit id]``; if the recursion below returns
+  None the reflective surface returns *its own* intersection
+  (RL/ray.py:180-201).  Iteratively: the deepest reflective intersection in
+  the chain is kept as a fallback result.
+* ``transparent == True`` → refract in, march internally with a ≤10-step
+  TIR-reflect loop (``sphereExitRay``, RL/ray.py:109-157), refract out and
+  continue; a trapped ray or a failed chain returns None *through* the
+  transparent level (RL/ray.py:226-229) — i.e. the fallback logic skips
+  transparent levels, which overwriting-only-on-reflective reproduces.
+* Anything else is a terminal intersection handed to shading.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import vec
+from ..core.intersect import NO_SUPPRESS, nearest_hit, single_sphere_exit
+from ..scene.types import Scene
+
+# Status codes for each ray lane.
+ACTIVE = 0
+DONE_HIT = 1    # terminal intersection recorded in the result fields
+DONE_NONE = 2   # chain failed with no reflective fallback → background
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TraceResult:
+    """Vectorised equivalent of the reference ``Intersection`` terminus."""
+
+    hit: jnp.ndarray       # [R] bool — True where a terminal surface was found
+    idx: jnp.ndarray       # [R] i32  — sphere index of the terminus
+    point: jnp.ndarray     # [R, 3]
+    normal: jnp.ndarray    # [R, 3]
+    bounces: jnp.ndarray   # [R] i32  — recursion depth at the terminus
+    through: jnp.ndarray   # [R] i32  — transparent objects passed through
+
+
+def _refract_walk(d, n_hit, p_hit, centre, radius, ior, dtype):
+    """``sphereExitRay`` (RL/ray.py:109-157) for a batch of lanes.
+
+    Returns ``(ok, exit_point, exit_dir)``; ``ok`` False where the ray is
+    trapped after 10 internal reflections (the reference prints "TRAPPED
+    RAY" and returns None) or where the entry refraction itself TIRs (the
+    reference would crash on that; physically impossible for ior >= 1).
+    """
+    refr_d, tir_in = vec.refract(d, n_hit, jnp.asarray(1.0, dtype), ior)
+    # First exit intersection: march from the entry point along the internal dir.
+    _, e_point, e_normal = single_sphere_exit(p_hit, refr_d, centre, radius)
+
+    def body(_, carry):
+        exited, refr_d, e_point, e_normal, out_point, out_dir = carry
+        exit_d, tir = vec.refract(refr_d, -e_normal, ior, jnp.asarray(1.0, dtype))
+        newly = (~exited) & (~tir)
+        out_point = jnp.where(newly[..., None], e_point, out_point)
+        out_dir = jnp.where(newly[..., None], exit_d, out_dir)
+        exited_next = exited | newly
+        # TIR lanes: reflect internally and find the next exit point.
+        refl_d = vec.reflect(refr_d, e_normal)
+        _, n_point, n_normal = single_sphere_exit(e_point, refl_d, centre, radius)
+        still = ~exited_next
+        refr_d = jnp.where(still[..., None], refl_d, refr_d)
+        e_point = jnp.where(still[..., None], n_point, e_point)
+        e_normal = jnp.where(still[..., None], n_normal, e_normal)
+        return exited_next, refr_d, e_point, e_normal, out_point, out_dir
+
+    init = (jnp.zeros(d.shape[:-1], bool), refr_d, e_point, e_normal,
+            jnp.zeros_like(d), jnp.zeros_like(d))
+    exited, *_, out_point, out_dir = jax.lax.fori_loop(0, 10, body, init)
+    ok = exited & (~tir_in)
+    return ok, out_point, out_dir
+
+
+@partial(jax.jit, static_argnames=("max_bounces",))
+def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
+                  max_bounces: int = 1,
+                  suppress_id: jnp.ndarray | None = None,
+                  bounces0: jnp.ndarray | None = None,
+                  through0: jnp.ndarray | None = None) -> TraceResult:
+    """Trace a wavefront of rays to their Whitted termini.
+
+    ``origins``/``dirs``: ``[R, 3]`` (dirs need not be normalised — the
+    reference's ``Ray.__init__`` normalises, and so do we).  ``suppress_id``,
+    ``bounces0``, ``through0`` let callers resume mid-chain exactly like the
+    recursive signature (env stepping uses this).
+    """
+    dtype = origins.dtype
+    R = origins.shape[0]
+    d = vec.normalise_safe(dirs.astype(dtype))
+    o = origins
+
+    if suppress_id is None:
+        suppress_id = jnp.full((R,), NO_SUPPRESS, jnp.int32)
+    bounces = jnp.zeros((R,), jnp.int32) if bounces0 is None else bounces0.astype(jnp.int32)
+    through = jnp.zeros((R,), jnp.int32) if through0 is None else through0.astype(jnp.int32)
+
+    status = jnp.full((R,), ACTIVE, jnp.int32)
+    zero3 = jnp.zeros((R, 3), dtype)
+    zi = jnp.zeros((R,), jnp.int32)
+    res_idx, res_point, res_normal = zi, zero3, zero3
+    res_bounces, res_through = zi, zi
+    fb_valid = jnp.zeros((R,), bool)
+    fb_idx, fb_point, fb_normal = zi, zero3, zero3
+    fb_bounces, fb_through = zi, zi
+
+    is_mirror = scene.reflective == 1.0      # the `== True` rule, RL/ray.py:180
+    is_glass = scene.transparent == 1.0      # RL/ray.py:204
+
+    def level(_, carry):
+        (o, d, suppress_id, bounces, through, status,
+         res_idx, res_point, res_normal, res_bounces, res_through,
+         fb_valid, fb_idx, fb_point, fb_normal, fb_bounces, fb_through) = carry
+
+        active = status == ACTIVE
+        hit = nearest_hit(o, d, scene, suppress_id)
+
+        over_budget = bounces > max_bounces
+        # Chain fails here: no hit, or budget exceeded (RL/ray.py:170-174).
+        fail = active & (~hit.found | over_budget)
+        # On failure, fall back to the deepest reflective intersection if any.
+        use_fb = fail & fb_valid
+        res_idx = jnp.where(use_fb, fb_idx, res_idx)
+        res_point = jnp.where(use_fb[:, None], fb_point, res_point)
+        res_normal = jnp.where(use_fb[:, None], fb_normal, res_normal)
+        res_bounces = jnp.where(use_fb, fb_bounces, res_bounces)
+        res_through = jnp.where(use_fb, fb_through, res_through)
+        status = jnp.where(fail, jnp.where(fb_valid, DONE_HIT, DONE_NONE), status)
+
+        live = active & ~fail
+        mirror = live & is_mirror[hit.idx]
+        glass = live & ~mirror & is_glass[hit.idx]
+        terminal = live & ~mirror & ~glass
+
+        # Terminal: record the intersection (bounces/through as of this level,
+        # RL/ray.py:176-177).
+        res_idx = jnp.where(terminal, hit.idx, res_idx)
+        res_point = jnp.where(terminal[:, None], hit.point, res_point)
+        res_normal = jnp.where(terminal[:, None], hit.normal, res_normal)
+        res_bounces = jnp.where(terminal, bounces, res_bounces)
+        res_through = jnp.where(terminal, through, res_through)
+        status = jnp.where(terminal, DONE_HIT, status)
+
+        # Mirror: update the fallback and bounce (RL/ray.py:180-201).
+        fb_valid = fb_valid | mirror
+        fb_idx = jnp.where(mirror, hit.idx, fb_idx)
+        fb_point = jnp.where(mirror[:, None], hit.point, fb_point)
+        fb_normal = jnp.where(mirror[:, None], hit.normal, fb_normal)
+        fb_bounces = jnp.where(mirror, bounces, fb_bounces)
+        fb_through = jnp.where(mirror, through, fb_through)
+        refl_d = vec.reflect(d, hit.normal)
+
+        # Glass: refraction walk through the sphere (RL/ray.py:204-229).
+        ok, exit_point, exit_dir = _refract_walk(
+            d, hit.normal, hit.point, scene.centre[hit.idx],
+            scene.radius[hit.idx], scene.ior[hit.idx], dtype)
+        trapped = glass & ~ok
+        # Trapped → None through this level → fallback (or background).
+        use_fb2 = trapped & fb_valid
+        res_idx = jnp.where(use_fb2, fb_idx, res_idx)
+        res_point = jnp.where(use_fb2[:, None], fb_point, res_point)
+        res_normal = jnp.where(use_fb2[:, None], fb_normal, res_normal)
+        res_bounces = jnp.where(use_fb2, fb_bounces, res_bounces)
+        res_through = jnp.where(use_fb2, fb_through, res_through)
+        status = jnp.where(trapped, jnp.where(fb_valid, DONE_HIT, DONE_NONE), status)
+        glass = glass & ok
+
+        # Advance continuing lanes.
+        cont = mirror | glass
+        o = jnp.where(mirror[:, None], hit.point,
+                      jnp.where(glass[:, None], exit_point, o))
+        d = jnp.where(mirror[:, None], refl_d,
+                      jnp.where(glass[:, None], exit_dir, d))
+        suppress_id = jnp.where(cont, scene.id[hit.idx], suppress_id)
+        bounces = jnp.where(cont, bounces + 1, bounces)
+        through = jnp.where(glass, through + 1, through)
+
+        return (o, d, suppress_id, bounces, through, status,
+                res_idx, res_point, res_normal, res_bounces, res_through,
+                fb_valid, fb_idx, fb_point, fb_normal, fb_bounces, fb_through)
+
+    carry = (o, d, suppress_id, bounces, through, status,
+             res_idx, res_point, res_normal, res_bounces, res_through,
+             fb_valid, fb_idx, fb_point, fb_normal, fb_bounces, fb_through)
+    # Levels 0..max_bounces can produce intersections; one extra level turns
+    # an over-budget chain into its fallback/None.
+    carry = jax.lax.fori_loop(0, max_bounces + 2, level, carry)
+    (_, _, _, _, _, status,
+     res_idx, res_point, res_normal, res_bounces, res_through,
+     *_rest) = carry
+
+    return TraceResult(hit=status == DONE_HIT, idx=res_idx, point=res_point,
+                       normal=res_normal, bounces=res_bounces,
+                       through=res_through)
