@@ -65,12 +65,20 @@ def sphere_ts(o: jnp.ndarray, d: jnp.ndarray, centre: jnp.ndarray,
 
 
 def nearest_hit(o: jnp.ndarray, d: jnp.ndarray, scene: Scene,
-                suppress_id: jnp.ndarray) -> NearestHit:
+                suppress_id: jnp.ndarray, by_abs: bool = False) -> NearestHit:
     """Nearest non-suppressed intersection for each ray in the batch.
 
     ``suppress_id``: ``[...]`` i32 — spheres whose id equals it are skipped
     (the reference's ``suppress_ids`` list always holds at most one id:
     RL/ray.py:189,216).  Pass ``NO_SUPPRESS`` for no suppression.
+
+    ``by_abs`` selects the ordering metric: the core tracer compares the
+    *signed* near-root distance (``Intersection.nearestIntersection``,
+    RL/ray.py:18), while the FB path tracers re-sort by
+    ``point.distanceFrom(origin)`` = |t| (FB/fb_vs_traditional_complex.py:
+    305-312) — which matters because the room interiors sit *inside* the
+    giant wall spheres, producing behind-origin hits with negative t that
+    compete by absolute distance.
     """
     ob = o[..., None, :]                       # [..., 1, 3]
     db = d[..., None, :]
@@ -78,9 +86,11 @@ def nearest_hit(o: jnp.ndarray, d: jnp.ndarray, scene: Scene,
     valid = valid & (scene.id != suppress_id[..., None])
 
     big = jnp.asarray(jnp.finfo(t.dtype).max, t.dtype)
-    t_masked = jnp.where(valid, t, big)
-    idx = jnp.argmin(t_masked, axis=-1).astype(jnp.int32)
+    metric = jnp.abs(t) if by_abs else t
+    m_masked = jnp.where(valid, metric, big)
+    idx = jnp.argmin(m_masked, axis=-1).astype(jnp.int32)
     found = jnp.any(valid, axis=-1)
+    t_masked = jnp.where(valid, t, big)
     t_hit = jnp.take_along_axis(t_masked, idx[..., None], axis=-1)[..., 0]
 
     centre = scene.centre[idx]

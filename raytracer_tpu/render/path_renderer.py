@@ -1,0 +1,60 @@
+"""Path-traced frame renderer — the TPU form of the FB comparison
+``render`` loops (FB/fb_vs_traditional_complex.py:391-422 traditional,
+:603-635 FB; chandelier copies :739-771).
+
+Per pixel: ``spp`` jittered perspective samples, summed as integer sample
+colours then **integer-divided** by spp (``//`` in the reference), and
+finally ``min(1, c/255)`` per channel.  Jitter is ``0.5 + (U-0.5)`` on each
+axis, i.e. uniform in [0, 1).
+
+All spp samples for all pixels trace as one wavefront of ``H*W*spp`` rays.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.types import Scene
+from ..trace.path import PathStats, trace_path
+from .camera import perspective_rays
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
+                                   "mirror_threshold", "guide_fn", "fov",
+                                   "collect_stats"))
+def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
+                spp: int = 4, max_bounces: int = 3, fov: float = 60.0,
+                camera_position=(0.0, 2.0, 0.0),
+                mirror_threshold: float = 0.9,
+                background=(2.0, 2.0, 5.0),
+                guide_fn: Optional[Callable] = None,
+                fb_prob: float = 1.0,
+                collect_stats: bool = True):
+    """Render ``[H, W, 3]`` unit-range image + PathStats."""
+    dtype = jnp.float32
+    k_jit, k_trace = jax.random.split(key)
+    # Jitter: sample offsets 0.5 + (U - 0.5) per sample per pixel.
+    jit = jax.random.uniform(k_jit, (spp, height, width, 2), dtype)
+
+    def rays_for_sample(j):
+        return perspective_rays(width, height, fov=fov,
+                                origin=camera_position, variant="fb",
+                                sample_xy=j, dtype=dtype)
+
+    origins, dirs = jax.vmap(rays_for_sample)(jit)      # [spp, H*W, 3]
+    origins = origins.reshape(-1, 3)
+    dirs = dirs.reshape(-1, 3)
+
+    rgb, stats = trace_path(scene, origins, dirs, k_trace,
+                            max_bounces=max_bounces,
+                            mirror_threshold=mirror_threshold,
+                            background=background, guide_fn=guide_fn,
+                            fb_prob=fb_prob, collect_stats=collect_stats)
+    # Integer //spp average of integer sample colours (reference quirk).
+    sample_sum = jnp.sum(rgb.reshape(spp, height, width, 3), axis=0)
+    pixel = jnp.floor(sample_sum / spp)
+    img = jnp.minimum(1.0, pixel / 255.0)
+    return img, stats

@@ -1,0 +1,213 @@
+"""Wavefront stochastic path tracer — the TPU-native form of the FB
+comparison renderers' recursive tracers:
+
+* ``TraditionalRenderer.trace_ray_traditional``
+  (FB/fb_vs_traditional_complex.py:299-389; chandelier copy :460-554)
+* ``WorkingFBRenderer.trace_ray_fb``
+  (FB/fb_vs_traditional_complex.py:486-601; chandelier copy :620-737)
+
+Per level: nearest hit (no id suppression — self-hits are avoided with the
+reference's 0.001 normal offset), then
+
+* ``bounce >= max_bounces`` or miss → background (2, 2, 5)
+* emissive → the sphere's colour (light-hit counters)
+* direct   = Σ over emissive spheres of ``int(colour * cosθ / d² * 0.3)``
+  per channel (no shadow test — reference "simplified" direct lighting)
+* indirect = mirror reflect if ``reflective > mirror_threshold`` else a
+  cosine-weighted diffuse bounce — or, with probability ``fb_prob``, a
+  direction from a learned policy over a 22-D observation (the FB branch).
+  The reference ran one NN forward *per ray per bounce* on CPU — its
+  measured 6.7× slowdown; here the whole wavefront's policy evaluation is
+  one batched forward per level.
+* combine: ``trunc(albedo * min(255, direct + indirect) / 255)``
+  (int() truncation and min-clamps preserved).
+
+The single-recursive-call chain becomes a forward ``lax.scan`` over levels
+recording per-level (state, albedo, direct), then a reverse fold applying
+the combine — no recursion, fully fused.
+
+``mirror_threshold`` quirk: the chandelier *traditional* renderer mirrors on
+``reflective > 0`` (so its 0.1-reflective walls mirror!) while the complex
+traditional renderer and both FB renderers use ``> 0.9`` — both preserved
+via the parameter (chandelier :481 vs complex :349,535, chandelier FB :669).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import vec
+from ..core.intersect import NO_SUPPRESS, nearest_hit
+from ..scene.types import Scene
+from . import sampling
+
+# Per-level lane states.
+_INACTIVE = 0   # terminated at an earlier level
+_MISS = 1       # miss or bounce budget → background
+_EMISSIVE = 2   # terminal on a light → light colour
+_CONT = 3       # continuing: fold albedo/direct with the deeper value
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PathStats:
+    """The reference renderers' stats counters (complex.py:270-276)."""
+
+    total_rays: jnp.ndarray
+    total_intersections: jnp.ndarray
+    light_hits: jnp.ndarray
+    small_light_hits: jnp.ndarray
+    fb_used: jnp.ndarray
+
+
+def make_observation(point, normal, ray_dir, bounce_count, colour, scene,
+                     idx, max_bounces):
+    """22-D FB observation (FB/fb_vs_traditional_complex.py:446-467 /
+    train_complex_only.py:128-146): pos, incoming dir, normal, material(4),
+    colour/255, bounce/max, through=0, id/100, pad (0.5, 0.5, 0.5)."""
+    dtype = point.dtype
+    halfpad = jnp.full(point.shape[:-1] + (3,), 0.5, dtype)
+    return jnp.concatenate([
+        point, ray_dir, normal,
+        scene.reflective[idx][..., None].astype(dtype),
+        scene.transparent[idx][..., None].astype(dtype),
+        scene.emitive[idx][..., None].astype(dtype),
+        scene.ior[idx][..., None].astype(dtype),
+        (colour / 255.0).astype(dtype),
+        (bounce_count / max_bounces)[..., None].astype(dtype),
+        jnp.zeros(point.shape[:-1] + (1,), dtype),
+        (scene.id[idx].astype(dtype) / 100.0)[..., None],
+        halfpad,
+    ], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
+                                   "guide_fn", "collect_stats"))
+def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
+               key: jax.Array, *, max_bounces: int = 3,
+               mirror_threshold: float = 0.9,
+               background=(2.0, 2.0, 5.0),
+               guide_fn: Optional[Callable] = None,
+               fb_prob: float = 1.0,
+               collect_stats: bool = True):
+    """Trace ``[R]`` sample rays to integer sample colours ``[R, 3]``.
+
+    ``guide_fn(obs[R,22]) -> action[R,2]`` enables the FB branch; actions are
+    clipped to [-1, 1] and mapped θ=(a₀+1)π/4, φ=a₁π in the renderer tangent
+    frame.  Returns ``(rgb, PathStats)``.
+    """
+    dtype = origins.dtype
+    R = origins.shape[0]
+    bg = jnp.asarray(background, dtype)
+    d = vec.normalise_safe(dirs.astype(dtype))
+    o = origins
+
+    emissive_mask = scene.emitive > 0            # "light_sources" membership
+    small_mask = emissive_mask & (scene.radius < 0.5)
+    is_mirror = scene.reflective > mirror_threshold
+
+    no_sup = jnp.full((R,), NO_SUPPRESS, jnp.int32)
+
+    def level(carry, inputs):
+        o, d, running = carry
+        k, subkey = inputs
+
+        hit = nearest_hit(o, d, scene, no_sup, by_abs=True)
+        found = running & hit.found
+
+        emis = found & emissive_mask[hit.idx]
+        mirror = found & ~emis & is_mirror[hit.idx]
+        diffuse = found & ~emis & ~mirror
+        cont = mirror | diffuse
+
+        # Direct lighting: sum over emissive spheres, skipping the hit sphere
+        # itself (complex.py:333-348).  cos > 0 gate == max(0, cos) here.
+        to_light = scene.centre[None, :, :] - hit.point[:, None, :]   # [R, N, 3]
+        dist = vec.magnitude(to_light)
+        cosang = vec.dot(vec.normalise_safe(to_light), hit.normal[:, None, :])
+        w = jnp.maximum(cosang, 0.0) / jnp.maximum(dist * dist, 1e-30) * 0.3
+        lmask = emissive_mask[None, :] & (jnp.arange(scene.num_spheres)[None, :]
+                                          != hit.idx[:, None])
+        w = jnp.where(lmask, w, 0.0)
+        # int() truncation per light contribution before summing.
+        direct = jnp.sum(jnp.trunc(w[..., None] * scene.colour[None].astype(dtype)),
+                         axis=1)                                       # [R, 3]
+
+        # Bounce direction.
+        k_diff, k_fb = jax.random.split(subkey)
+        refl_d = vec.reflect(d, hit.normal)
+        diff_d = sampling.cosine_weighted(k_diff, hit.normal, "renderer")
+        if guide_fn is not None:
+            use_fb = diffuse & (jax.random.uniform(k_fb, (R,), dtype) < fb_prob)
+            obs = make_observation(hit.point, hit.normal, d,
+                                  jnp.full((R,), k, dtype),
+                                  jnp.zeros((R, 3), dtype), scene, hit.idx,
+                                  max_bounces)
+            action = jnp.clip(guide_fn(obs), -1.0, 1.0)
+            fb_d = sampling.fb_action_to_direction(action, hit.normal, "renderer")
+            diff_d = jnp.where(use_fb[:, None], fb_d, diff_d)
+            fb_count = jnp.sum(use_fb)
+        else:
+            fb_count = jnp.zeros((), jnp.int32)
+
+        new_d = jnp.where(mirror[:, None], refl_d, diff_d)
+        new_o = hit.point + hit.normal * 0.001                        # offset origin
+        o = jnp.where(cont[:, None], new_o, o)
+        d = jnp.where(cont[:, None], new_d, d)
+
+        state = jnp.where(running,
+                          jnp.where(emis, _EMISSIVE,
+                                    jnp.where(cont, _CONT, _MISS)),
+                          _INACTIVE).astype(jnp.int8)
+        albedo = scene.colour[hit.idx].astype(dtype)
+        emis_colour = albedo                                         # light colour
+        level_stats = (jnp.sum(running), jnp.sum(found), jnp.sum(emis),
+                       jnp.sum(found & small_mask[hit.idx]), fb_count)
+        out = (state, albedo, direct, emis_colour)
+        return (o, d, running & cont), (out, level_stats)
+
+    keys = jax.random.split(key, max_bounces)
+    running0 = jnp.ones((R,), bool)
+    (_, _, still_running), (recs, stats_seq) = jax.lax.scan(
+        level, (o, d, running0),
+        (jnp.arange(max_bounces, dtype=dtype), keys))
+
+    states, albedos, directs, emis_colours = recs    # [L, R(,3)]
+
+    # Reverse fold: value flows from the deepest level back to the camera.
+    # Lanes still running after L levels hit the bounce-budget background.
+    value0 = jnp.broadcast_to(bg, (R, 3))
+
+    def fold(i, value):
+        lvl = max_bounces - 1 - i
+        st = states[lvl]
+        combined = jnp.trunc(
+            albedos[lvl] * jnp.minimum(
+                255.0, directs[lvl] + value) / 255.0)
+        value = jnp.where((st == _CONT)[:, None], combined, value)
+        value = jnp.where((st == _EMISSIVE)[:, None], emis_colours[lvl], value)
+        value = jnp.where((st == _MISS)[:, None], bg[None, :], value)
+        return value
+
+    rgb = jax.lax.fori_loop(0, max_bounces, fold, value0)
+
+    if collect_stats:
+        # stats_seq is a tuple of per-level stacked counters [L]; the lanes
+        # still running after L levels make one extra trace() call that the
+        # reference counts before its bounce-budget early return.
+        total_rays = jnp.sum(stats_seq[0]) + jnp.sum(still_running)
+        stats = PathStats(
+            total_rays=total_rays,
+            total_intersections=jnp.sum(stats_seq[1]),
+            light_hits=jnp.sum(stats_seq[2]),
+            small_light_hits=jnp.sum(stats_seq[3]),
+            fb_used=jnp.sum(stats_seq[4]),
+        )
+    else:
+        z = jnp.zeros((), jnp.int32)
+        stats = PathStats(z, z, z, z, z)
+    return rgb, stats
