@@ -1,0 +1,238 @@
+"""FB trainers — rebuild of the missing ``fb_multi_scene_trainer.py``
+(``MultiSceneFBTrainer``) plus the two surviving subclass drivers:
+
+* ``ChandelierOnlyTrainer``   — FB/train_chandelier_only.py:186-328
+* ``RayTracedComplexTrainer`` — FB/train_complex_only.py:245-365
+
+Inferred API (SURVEY.md §0): attributes ``.config .device .agent
+.scene_generator .output_dir``; methods ``.run_training(num_scenes,
+scenes_per_batch, training_steps_per_scene)`` and ``.test_on_complex(
+num_tests)``.  Outputs mirror the reference's artifact schema:
+``performance_batch_N.json`` snapshots, per-batch ``checkpoint_batch_N``
+checkpoints, ``fb_multi_scene_final`` and ``final_training_report.json``
+(config + agent stats + per-scene-type aggregates + all_performances).
+"""
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene import templates
+from ..scene.types import Scene
+from .agent import FBResearchAgent
+from .config import FBConfig
+from .trajectory import generate_trajectories
+
+# Scene-type cycle matching the report's counts over 100 scenes
+# (complex/cornell/mirror/glass ×15, simple/many/occluded/chandelier ×10).
+_CYCLE = ["complex_scene", "cornell_box", "mirror_maze", "glass_gallery",
+          "simple_challenging", "many_lights", "occluded_lights",
+          "chandelier_scene"]
+
+
+class MultiSceneFBTrainer:
+    """Trains the FB agent across the 8-template scene family."""
+
+    # Padded sphere count: one static shape → one XLA compile for every
+    # scene variation (the largest template tops out under 64).
+    PAD_TO = 64
+
+    def __init__(self, num_training_scenes: int = 100,
+                 config: Optional[FBConfig] = None,
+                 output_dir: Optional[str] = None, seed: int = 0):
+        self.config = config or FBConfig()
+        self.device = jax.devices()[0].platform
+        self.agent = FBResearchAgent(self.config, seed=seed)
+        self.scene_generator = templates
+        self.num_training_scenes = num_training_scenes
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        self.output_dir = Path(output_dir or
+                               f"./fb_multi_scene_training_{stamp}")
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self._key = jax.random.key(seed + 17)
+        self.all_performances: list[dict] = []
+
+    # -- scene supply (overridden by subclasses) ---------------------------
+    def make_scene(self, i: int):
+        stype = _CYCLE[i % len(_CYCLE)]
+        scene, name = templates.generate_scene(stype, i, pad_to=self.PAD_TO)
+        return scene, name, stype
+
+    # -- experience --------------------------------------------------------
+    def train_on_scene(self, scene: Scene, name: str,
+                       episodes: int) -> float:
+        """Generate ``episodes`` random-walk trajectories on device, feed
+        the agent, return the episode light-hit rate."""
+        self._key, k = jax.random.split(self._key)
+        batch = generate_trajectories(scene, k, num_walkers=episodes,
+                                      max_steps=self.config.max_bounces)
+        valid = np.asarray(batch.valid).reshape(-1)
+        if valid.any():
+            flat = lambda a: np.asarray(a).reshape((-1,) + a.shape[2:])[valid]
+            self.agent.record_success(flat(batch.obs), flat(batch.action),
+                                      flat(batch.next_obs),
+                                      flat(batch.reward),
+                                      flat(batch.hit_light))
+        return float(np.asarray(batch.episode_hit).mean())
+
+    # -- main loop ---------------------------------------------------------
+    def run_training(self, num_scenes: Optional[int] = None,
+                     scenes_per_batch: int = 20,
+                     training_steps_per_scene: int = 150) -> dict:
+        num_scenes = num_scenes or self.num_training_scenes
+        t0 = time.time()
+        for i in range(num_scenes):
+            scene, name, stype = self.make_scene(i)
+            hit_rate = self.train_on_scene(scene, name,
+                                           episodes=training_steps_per_scene)
+            self.all_performances.append({
+                "scene": name, "scene_type": stype.split("_")[0],
+                "hit_rate": hit_rate * 100.0,
+                "objects": int(np.sum(np.asarray(scene.radius) > 0)),
+                "lights": int(np.sum((np.asarray(scene.emitive) > 0)
+                                     & (np.asarray(scene.radius) > 0))),
+            })
+            if (i + 1) % scenes_per_batch == 0:
+                bno = (i + 1) // scenes_per_batch
+                self._save_batch(bno)
+        self.agent.save(self.output_dir / "fb_multi_scene_final.npz")
+        report = self._final_report(time.time() - t0)
+        with open(self.output_dir / "final_training_report.json", "w") as f:
+            json.dump(report, f, indent=2)
+        return report
+
+    def _save_batch(self, bno: int):
+        self.agent.save(self.output_dir / f"checkpoint_batch_{bno}.npz")
+        with open(self.output_dir / f"performance_batch_{bno}.json", "w") as f:
+            json.dump(self.all_performances, f, indent=2)
+
+    def _final_report(self, elapsed: float) -> dict:
+        perfs = self.all_performances
+        by_type: dict[str, list[float]] = {}
+        for p in perfs:
+            by_type.setdefault(p["scene_type"], []).append(p["hit_rate"])
+        scene_type_performance = {
+            t: {"count": len(v), "avg_hit_rate": float(np.mean(v)),
+                "min_hit_rate": float(np.min(v)),
+                "max_hit_rate": float(np.max(v))}
+            for t, v in by_type.items()}
+        losses = [l for l in self.agent.losses if np.isfinite(l)]
+        return {
+            "training_summary": {
+                "config": self.config.to_dict(),
+                "device": self.device,
+                "total_training_time": elapsed,
+                "final_buffer_size": self.agent.buffer.size,
+                "agent_stats": self.agent.get_stats(),
+            },
+            "performance_statistics": {
+                "total_scenes_trained": len(perfs),
+                "successful_scenes": len(perfs),
+                "success_rate": 100.0,
+                "avg_hit_rate": float(np.mean([p["hit_rate"]
+                                               for p in perfs]) / 100.0)
+                                if perfs else 0.0,
+                "avg_loss": float(np.mean(losses)) if losses else None,
+                "scene_types_trained": len(by_type),
+            },
+            "scene_type_performance": scene_type_performance,
+            "all_performances": perfs,
+        }
+
+    # -- held-out evaluation ----------------------------------------------
+    def test_on_scene(self, scene: Scene, num_tests: int = 200) -> dict:
+        """Held-out test in the style of ``test_on_chandelier``
+        (FB/train_chandelier_only.py:199-300): sample random surface points,
+        query the agent, cast ONE test ray, measure light hit rates against
+        a solid-angle random baseline."""
+        from ..core.intersect import nearest_hit
+        from ..trace import sampling
+
+        self._key, k = jax.random.split(self._key)
+        k1, k2, k3 = jax.random.split(k, 3)
+        emissive = np.asarray(scene.emitive) > 0
+        real = np.asarray(scene.radius) > 0
+        logits = jnp.where(jnp.asarray(emissive | ~real), -jnp.inf, 0.0)
+        idx = jax.random.categorical(k1, logits, shape=(num_tests,))
+        point, normal = sampling.uniform_on_sphere(
+            k2, scene.centre[idx], scene.radius[idx])
+        incoming = sampling.cosine_weighted(k3, normal, "trainer")
+        from ..trace.path import make_observation
+        obs = make_observation(point, normal, incoming,
+                              jnp.zeros((num_tests,)),
+                              jnp.zeros((num_tests, 3)), scene, idx,
+                              float(self.config.max_bounces))
+        action, _ = self.agent.choose_direction_research(np.asarray(obs))
+        d = sampling.fb_action_to_direction(jnp.asarray(action), normal,
+                                            "trainer")
+        hit = nearest_hit(point + normal * 0.001, d, scene, scene.id[idx],
+                          by_abs=True)
+        agent_hits = np.asarray(hit.found & (scene.emitive[hit.idx] > 0))
+        small = np.asarray(scene.radius) < 0.5
+        agent_small = np.asarray(hit.found) & agent_hits & small[np.asarray(hit.idx)]
+
+        # Random solid-angle baseline: crude expected hit probability.
+        self._key, kr = jax.random.split(self._key)
+        dr = sampling.cosine_weighted(kr, normal, "trainer")
+        rhit = nearest_hit(point + normal * 0.001, dr, scene, scene.id[idx],
+                           by_abs=True)
+        rand_hits = np.asarray(rhit.found & (scene.emitive[rhit.idx] > 0))
+        return {
+            "num_tests": num_tests,
+            "agent_hit_rate": float(agent_hits.mean()),
+            "agent_small_light_rate": float(agent_small.mean()),
+            "random_hit_rate": float(rand_hits.mean()),
+        }
+
+    def test_on_complex(self, num_tests: int = 200) -> dict:
+        scene, _ = templates.generate_scene("complex_scene", 99,
+                                            pad_to=self.PAD_TO)
+        result = self.test_on_scene(scene, num_tests)
+        with open(self.output_dir / "held_out_complex_test.json", "w") as f:
+            json.dump(result, f, indent=2)
+        return result
+
+
+class ChandelierOnlyTrainer(MultiSceneFBTrainer):
+    """FB/train_chandelier_only.py:186-197: chandelier variations only,
+    max_bounces=8, f_hidden 512 / b_hidden 256."""
+
+    def __init__(self, num_training_scenes: int = 100, **kw):
+        cfg = kw.pop("config", None) or FBConfig(max_bounces=8,
+                                                 f_hidden_dim=512,
+                                                 b_hidden_dim=256)
+        super().__init__(num_training_scenes, config=cfg, **kw)
+
+    def make_scene(self, i: int):
+        scene, name = templates.generate_scene("chandelier_scene", i,
+                                               pad_to=self.PAD_TO)
+        return scene, name, "chandelier"
+
+    def test_on_chandelier(self, num_tests: int = 200) -> dict:
+        scene, _ = templates.generate_scene("chandelier_scene", 99,
+                                            pad_to=self.PAD_TO)
+        result = self.test_on_scene(scene, num_tests)
+        with open(self.output_dir / "held_out_chandelier_test.json", "w") as f:
+            json.dump(result, f, indent=2)
+        return result
+
+
+class RayTracedComplexTrainer(MultiSceneFBTrainer):
+    """FB/train_complex_only.py:245-365: complex variations only,
+    max_bounces=8, real ray-traced experience."""
+
+    def __init__(self, num_training_scenes: int = 100, **kw):
+        cfg = kw.pop("config", None) or FBConfig(max_bounces=8)
+        super().__init__(num_training_scenes, config=cfg, **kw)
+
+    def make_scene(self, i: int):
+        scene, name = templates.generate_scene("complex_scene", i,
+                                               pad_to=self.PAD_TO)
+        return scene, name, "complex"

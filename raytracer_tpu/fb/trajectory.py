@@ -1,0 +1,108 @@
+"""Batched trajectory generation for FB training.
+
+TPU-native form of ``RayTracedComplexTrainer.generate_trajectory``
+(FB/train_complex_only.py:254-348): a random walk from a random surface
+point on a random non-light sphere, recording
+``(obs, action, next_obs, reward ∈ {0,1}, hit_light)`` transitions until a
+light is hit, the ray escapes, or the bounce budget runs out.
+
+The reference walks ONE trajectory at a time in Python; here ``W`` walkers
+advance together under ``lax.scan`` — one device launch generates the whole
+experience batch.
+
+Preserved details: the (θ~U[0,2π], φ~U[0,π]) pole-biased surface sampling,
+cosine-weighted step directions in the "trainer" tangent frame (threshold
+0.999), ``direction_to_action`` hemisphere clamp, 0.001 normal offset,
+exclusion of the current sphere by id, |t| nearest ordering, and the quirk
+that ``accumulated colour`` never actually updates (stays black) so the obs
+colour features are the light's colour only on the terminal light hit.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.intersect import nearest_hit
+from ..scene.types import Scene
+from ..trace import sampling
+from ..trace.path import make_observation
+
+
+class TrajectoryBatch(NamedTuple):
+    obs: jnp.ndarray        # [T, W, 22]
+    action: jnp.ndarray     # [T, W, 2]
+    next_obs: jnp.ndarray   # [T, W, 22]
+    reward: jnp.ndarray     # [T, W]
+    hit_light: jnp.ndarray  # [T, W] bool
+    valid: jnp.ndarray      # [T, W] bool
+    episode_hit: jnp.ndarray  # [W] bool — did the walker ever reach a light
+
+
+@partial(jax.jit, static_argnames=("num_walkers", "max_steps"))
+def generate_trajectories(scene: Scene, key: jax.Array, *,
+                          num_walkers: int = 256,
+                          max_steps: int = 8) -> TrajectoryBatch:
+    W = num_walkers
+    dtype = scene.centre.dtype
+    emissive = scene.emitive > 0
+
+    k_start, k_point, k_dir, k_walk = jax.random.split(key, 4)
+
+    # Random non-light start sphere (uniform over non-light spheres;
+    # radius<=0 excludes pad_scene dummies).
+    logits = jnp.where(emissive | (scene.radius <= 0), -jnp.inf, 0.0)
+    idx0 = jax.random.categorical(k_start, logits, shape=(W,))
+    point0, normal0 = sampling.uniform_on_sphere(
+        k_point, scene.centre[idx0], scene.radius[idx0])
+    incoming0 = sampling.cosine_weighted(k_dir, normal0, "trainer")
+    mb = jnp.asarray(float(max_steps), dtype)
+
+    def build_obs(point, normal, incoming, bounce, colour, idx):
+        return make_observation(point, normal, incoming,
+                               jnp.full((W,), bounce, dtype), colour,
+                               scene, idx, mb)
+
+    obs0 = build_obs(point0, normal0, incoming0, 0.0,
+                     jnp.zeros((W, 3), dtype), idx0)
+
+    def step(carry, inputs):
+        point, normal, idx, obs, active = carry
+        k, bounce = inputs
+        k1, k2 = jax.random.split(k)
+
+        next_dir = sampling.cosine_weighted(k1, normal, "trainer")
+        action = sampling.direction_to_action(next_dir, normal, "trainer")
+        o = point + normal * 0.001
+        hit = nearest_hit(o, next_dir, scene, scene.id[idx], by_abs=True)
+
+        hit_light = hit.found & emissive[hit.idx]
+        reward = jnp.where(hit_light, 1.0, 0.0)
+        colour = jnp.where(hit_light[:, None],
+                           scene.colour[hit.idx].astype(dtype), 0.0)
+        next_obs = build_obs(hit.point, hit.normal, next_dir, 0.0, colour,
+                             hit.idx)
+        # bounce feature of next_obs is bounce+1 (column 16 = (b+1)/max).
+        next_obs = next_obs.at[:, 16].set((bounce + 1.0) / mb)
+
+        valid = active & hit.found
+        rec = (obs, action, next_obs, reward, hit_light & valid, valid)
+
+        cont = active & hit.found & ~hit_light
+        point = jnp.where(cont[:, None], hit.point, point)
+        normal = jnp.where(cont[:, None], hit.normal, normal)
+        idx = jnp.where(cont, hit.idx, idx)
+        obs = jnp.where(cont[:, None], next_obs, obs)
+        return (point, normal, idx, obs, cont), rec
+
+    keys = jax.random.split(k_walk, max_steps)
+    bounces = jnp.arange(max_steps, dtype=dtype)
+    init = (point0, normal0, idx0, obs0, jnp.ones((W,), bool))
+    _, (obs, action, next_obs, reward, hit_light, valid) = jax.lax.scan(
+        step, init, (keys, bounces))
+
+    return TrajectoryBatch(obs=obs, action=action, next_obs=next_obs,
+                           reward=reward, hit_light=hit_light, valid=valid,
+                           episode_hit=jnp.any(hit_light, axis=0))

@@ -1,0 +1,111 @@
+"""FB trainer + trajectory + inference integration tests (small sizes)."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.fb.config import FBConfig
+from raytracer_tpu.fb.inference import TrainedFBAgent, small_light_indices
+from raytracer_tpu.fb.trainer import (ChandelierOnlyTrainer,
+                                      MultiSceneFBTrainer,
+                                      RayTracedComplexTrainer)
+from raytracer_tpu.fb.trajectory import generate_trajectories
+from raytracer_tpu.scene import library, templates
+
+
+def _tiny_cfg():
+    return FBConfig(z_dim=16, e_hidden_dim=64, f_hidden_dim=64,
+                    b_hidden_dim=32, batch_size=32, update_freq=64,
+                    buffer_capacity=10_000, max_bounces=4)
+
+
+def test_all_templates_build():
+    for name in templates.TEMPLATES:
+        for v in (0, 3, 7):
+            scene, sname = templates.generate_scene(name, v, pad_to=64)
+            assert scene.num_spheres == 64
+            real = np.asarray(scene.radius) > 0
+            assert real.sum() >= 3, name
+            assert (np.asarray(scene.emitive)[real] > 0).any(), name
+    # complex base scene matches the artifact stats: 54 objects, 3 lights.
+    scene, _ = templates.generate_scene("complex_scene", 1)  # 1: no add/remove
+    assert scene.num_spheres == 54
+    assert int((np.asarray(scene.emitive) > 0).sum()) == 3
+
+
+def test_trajectories_shapes_and_hits():
+    # Two diffuse spheres under a huge nearby light: a large fraction of
+    # cosine-weighted walks reach it within 6 bounces.
+    from raytracer_tpu.scene.types import SceneBuilder
+    b = SceneBuilder()
+    b.add_sphere((0, 0, 0), 1.0, (200, 120, 80), id=1)
+    b.add_sphere((3, 0, 0), 0.8, (120, 200, 80), id=2)
+    b.add_sphere((0, 25, 0), 20.0, (255, 255, 240), emitive=1.0, id=9)
+    scene, _, _ = b.build()
+    batch = generate_trajectories(scene, jax.random.key(0), num_walkers=128,
+                                  max_steps=6)
+    assert batch.obs.shape == (6, 128, 22)
+    v = np.asarray(batch.valid)
+    assert v.any()
+    assert np.asarray(batch.episode_hit).mean() > 0.1
+    # Rewards are 1 exactly on light-hit transitions.
+    r = np.asarray(batch.reward)
+    hl = np.asarray(batch.hit_light)
+    assert (r[hl] == 1.0).all()
+    assert (r[~hl & v] == 0.0).all()
+    # Obs are finite on valid transitions.
+    assert np.isfinite(np.asarray(batch.obs)[v]).all()
+
+
+def test_trainer_end_to_end(tmp_path):
+    tr = MultiSceneFBTrainer(num_training_scenes=8, config=_tiny_cfg(),
+                             output_dir=tmp_path / "run")
+    report = tr.run_training(num_scenes=8, scenes_per_batch=4,
+                             training_steps_per_scene=32)
+    # Report schema mirrors the reference artifact.
+    assert set(report) == {"training_summary", "performance_statistics",
+                           "scene_type_performance", "all_performances"}
+    assert report["performance_statistics"]["total_scenes_trained"] == 8
+    assert len(report["all_performances"]) == 8
+    assert (tmp_path / "run" / "final_training_report.json").exists()
+    assert (tmp_path / "run" / "fb_multi_scene_final.npz").exists()
+    assert (tmp_path / "run" / "performance_batch_1.json").exists()
+    # The agent actually trained.
+    assert tr.agent.buffer.size > 0
+    held = tr.test_on_complex(num_tests=64)
+    assert 0.0 <= held["agent_hit_rate"] <= 1.0
+
+
+def test_chandelier_and_complex_trainers(tmp_path):
+    tr = ChandelierOnlyTrainer(num_training_scenes=2, output_dir=tmp_path / "c")
+    s, name, stype = tr.make_scene(0)
+    assert stype == "chandelier" and "chandelier" in name
+    tr2 = RayTracedComplexTrainer(num_training_scenes=2,
+                                  output_dir=tmp_path / "x")
+    s2, name2, stype2 = tr2.make_scene(1)
+    assert stype2 == "complex"
+    assert tr2.config.max_bounces == 8
+
+
+def test_trained_fb_agent_and_guided_render():
+    scene, gl, pl, p = library.chandelier_scene()
+    idx = small_light_indices(scene)
+    assert len(idx) == 20
+    agent = TrainedFBAgent(None, scene, idx, p["camera_position"],
+                           config=_tiny_cfg())
+    proto = agent.light_prototype
+    assert proto.shape == (16,)
+    assert np.isfinite(proto).all()
+    a = agent.choose_direction(np.zeros(22, np.float32))
+    assert a.shape == (2,) and (np.abs(a) <= 1).all()
+
+    # Guided wavefront render end-to-end.
+    from raytracer_tpu.render.path_renderer import render_path
+    img, stats = render_path(scene, jax.random.key(0), width=24, height=12,
+                             spp=1, max_bounces=3,
+                             camera_position=p["camera_position"],
+                             guide_fn=agent.as_guide_fn(), fb_prob=1.0)
+    assert np.isfinite(np.asarray(img)).all()
+    assert int(stats.fb_used) > 0
