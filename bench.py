@@ -1,0 +1,125 @@
+"""Benchmark — reference configs on real TPU hardware.
+
+Primary headline: the chandelier comparison config (200×100, 8 spp,
+8 bounces — ``chandelier_comparison_*/statistics.json``), traditional path
+tracing.  Baseline: 7,655 rays/s on the reference's CPU (BASELINE.md).
+
+Prints exactly ONE JSON line to stdout; human-readable detail goes to
+stderr.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+
+# Persistent compilation cache: first-ever compile of the big traced
+# programs takes minutes through the axon remote-compile relay; cached
+# reruns start in seconds.
+os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+BASELINE_TRAD_RAYS_PER_SEC = 7655.0      # chandelier quick, BASELINE.md
+BASELINE_FB_RAYS_PER_SEC = 1199.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_steady(fn, *, warmup=1, iters=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.time()
+    out = None
+    for _ in range(iters):
+        out = fn()
+        jax.block_until_ready(out)
+    return (time.time() - t0) / iters, out
+
+
+def main():
+    from raytracer_tpu.render.path_renderer import render_path
+    from raytracer_tpu.render.camera import grid_rays
+    from raytracer_tpu.render.renderer import render_whitted
+    from raytracer_tpu.scene import library
+    from raytracer_tpu.fb.inference import TrainedFBAgent, small_light_indices
+
+    log(f"devices: {jax.devices()}")
+    scene, gl, pl, p = library.chandelier_scene()
+
+    # --- headline: traditional chandelier 200x100 @ 8spp, 8 bounces ------
+    W, H, SPP, MB = 200, 100, 8, 8
+    key = jax.random.key(0)
+
+    def run_trad(k=key):
+        return render_path(scene, k, width=W, height=H, spp=SPP,
+                           max_bounces=MB,
+                           camera_position=p["camera_position"],
+                           mirror_threshold=0.0)
+
+    t0 = time.time()
+    img, stats = run_trad()
+    jax.block_until_ready(img)
+    log(f"traditional compile+run: {time.time() - t0:.1f}s")
+    dt, (img, stats) = time_steady(run_trad)
+    total_rays = int(stats.total_rays)
+    trad_rps = total_rays / dt
+    log(f"traditional: {dt*1e3:.1f} ms/frame, {total_rays:,} rays, "
+        f"{trad_rps/1e6:.2f} Mrays/s  (baseline {BASELINE_TRAD_RAYS_PER_SEC:,.0f} rays/s)")
+
+    # --- FB-guided chandelier, same config -------------------------------
+    idx = small_light_indices(scene)
+    agent = TrainedFBAgent(None, scene, idx, p["camera_position"])
+    guide = agent.as_guide_fn()
+
+    def run_fb(k=key):
+        return render_path(scene, k, width=W, height=H, spp=SPP,
+                           max_bounces=MB,
+                           camera_position=p["camera_position"],
+                           mirror_threshold=0.9, guide_fn=guide, fb_prob=1.0)
+
+    try:
+        t0 = time.time()
+        fimg, fstats = run_fb()
+        jax.block_until_ready(fimg)
+        log(f"fb compile+run: {time.time() - t0:.1f}s")
+        fdt, (fimg, fstats) = time_steady(run_fb)
+        fb_rps = int(fstats.total_rays) / fdt
+        log(f"fb-guided:   {fdt*1e3:.1f} ms/frame, {int(fstats.total_rays):,} rays, "
+            f"{fb_rps/1e6:.2f} Mrays/s, fb_used={int(fstats.fb_used):,} "
+            f"(baseline {BASELINE_FB_RAYS_PER_SEC:,.0f} rays/s)")
+    except Exception as e:                                  # pragma: no cover
+        log(f"fb bench failed: {e!r}")
+        fb_rps = 0.0
+
+    # --- secondary: 800x600 chandelier whitted frame ---------------------
+    try:
+        from raytracer_tpu.render.camera import perspective_rays
+        o, d = perspective_rays(800, 600, fov=60,
+                                origin=p["camera_position"], variant="fb")
+
+        def run_whitted():
+            return render_whitted(scene, gl, pl, o, d, 600, 800,
+                                  max_bounces=5, background=p["background"])
+
+        wdt, _ = time_steady(run_whitted)
+        log(f"whitted 800x600: {wdt*1e3:.1f} ms/frame "
+            f"({800*600/wdt/1e6:.1f} Mrays/s primary)")
+    except Exception as e:                                  # pragma: no cover
+        log(f"whitted bench failed: {e!r}")
+
+    print(json.dumps({
+        "metric": "chandelier_traditional_rays_per_sec",
+        "value": round(trad_rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(trad_rps / BASELINE_TRAD_RAYS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Native SAC on the batched ray-tracing env.
+
+Replaces SB3 SAC with the reference's hyperparameters (lr 3e-4, buffer
+100k, learning_starts 5000, batch 256, tau 0.005, auto entropy —
+RL/ray_tracer_rl_complete.py:108-126; the v1 script uses lr 1e-3,
+RL/train_raytracer.py:156-180).  Tanh-squashed Gaussian policy rescaled to
+the env's action bounds, twin Q critics with polyak targets, automatic
+temperature tuning toward target entropy −dim(A).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..env.raytracer_env import RayTracerEnv
+from .networks import SACActor, SACCritic
+
+
+@dataclasses.dataclass
+class SACConfig:
+    learning_rate: float = 3e-4
+    buffer_size: int = 100_000
+    learning_starts: int = 5000
+    batch_size: int = 256
+    tau: float = 0.005
+    gamma: float = 0.99
+    batch_envs: int = 128
+    hidden: Tuple[int, ...] = (256, 256)
+
+
+class SACTrainer:
+    def __init__(self, env: RayTracerEnv, config: Optional[SACConfig] = None,
+                 seed: int = 0):
+        self.env = env
+        self.cfg = config or SACConfig()
+        self.actor = SACActor(action_dim=2, hidden=self.cfg.hidden)
+        self.critic = SACCritic(hidden=self.cfg.hidden)
+        key = jax.random.key(seed)
+        ka, kc = jax.random.split(key)
+        obs0 = jnp.zeros((1, 18))
+        act0 = jnp.zeros((1, 2))
+        self.actor_params = self.actor.init(ka, obs0)["params"]
+        self.critic_params = self.critic.init(kc, obs0, act0)["params"]
+        self.target_critic_params = jax.tree_util.tree_map(
+            jnp.copy, self.critic_params)
+        self.log_alpha = jnp.zeros(())
+        self.target_entropy = -2.0
+
+        lr = self.cfg.learning_rate
+        self.actor_tx = optax.adam(lr)
+        self.critic_tx = optax.adam(lr)
+        self.alpha_tx = optax.adam(lr)
+        self.actor_opt = self.actor_tx.init(self.actor_params)
+        self.critic_opt = self.critic_tx.init(self.critic_params)
+        self.alpha_opt = self.alpha_tx.init(self.log_alpha)
+
+        if env.variant == "rl":
+            low = np.array([0.0, 0.0], np.float32)
+            high = np.array([np.pi / 2, 2 * np.pi], np.float32)
+        else:
+            low = np.array([-1.0, -1.0], np.float32)
+            high = np.array([1.0, 1.0], np.float32)
+        self.low, self.high = jnp.asarray(low), jnp.asarray(high)
+        self.scale = (self.high - self.low) / 2.0
+        self.mid = (self.high + self.low) / 2.0
+
+        self._key = jax.random.key(seed + 1)
+        self.buffer = _Buffer(self.cfg.buffer_size, 18, 2)
+        self.total_steps = 0
+        self.episode_rewards: list[float] = []
+        self._update = self._build_update()
+
+    # -- squashed policy ---------------------------------------------------
+    def _sample_action(self, params, obs, key):
+        mean, log_std = self.actor.apply({"params": params}, obs)
+        std = jnp.exp(log_std)
+        u = mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+        t = jnp.tanh(u)
+        a = self.mid + self.scale * t
+        logp = jnp.sum(
+            -0.5 * ((u - mean) / std) ** 2 - log_std
+            - 0.5 * jnp.log(2 * jnp.pi)
+            - jnp.log(self.scale * (1 - t ** 2) + 1e-6), axis=-1)
+        return a, logp
+
+    def _build_update(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def update(actor_params, critic_params, target_params, log_alpha,
+                   opts, batch, key):
+            actor_opt, critic_opt, alpha_opt = opts
+            obs, action, reward, next_obs, done = batch
+            k1, k2 = jax.random.split(key)
+            alpha = jnp.exp(log_alpha)
+
+            next_a, next_logp = self._sample_action(actor_params, next_obs, k1)
+            tq1, tq2 = self.critic.apply({"params": target_params},
+                                         next_obs, next_a)
+            target_q = reward + cfg.gamma * (1 - done) * (
+                jnp.minimum(tq1, tq2) - alpha * next_logp)
+            target_q = jax.lax.stop_gradient(target_q)
+
+            def critic_loss(cp):
+                q1, q2 = self.critic.apply({"params": cp}, obs, action)
+                return jnp.mean((q1 - target_q) ** 2 + (q2 - target_q) ** 2)
+
+            closs, cgrad = jax.value_and_grad(critic_loss)(critic_params)
+            cupd, critic_opt = self.critic_tx.update(cgrad, critic_opt,
+                                                     critic_params)
+            critic_params = optax.apply_updates(critic_params, cupd)
+
+            def actor_loss(ap):
+                a, logp = self._sample_action(ap, obs, k2)
+                q1, q2 = self.critic.apply({"params": critic_params}, obs, a)
+                return jnp.mean(alpha * logp - jnp.minimum(q1, q2)), logp
+
+            (aloss, logp), agrad = jax.value_and_grad(actor_loss,
+                                                      has_aux=True)(actor_params)
+            aupd, actor_opt = self.actor_tx.update(agrad, actor_opt,
+                                                   actor_params)
+            actor_params = optax.apply_updates(actor_params, aupd)
+
+            def alpha_loss(la):
+                return -jnp.mean(jnp.exp(la) * jax.lax.stop_gradient(
+                    logp + self.target_entropy))
+
+            lloss, lgrad = jax.value_and_grad(alpha_loss)(log_alpha)
+            lupd, alpha_opt = self.alpha_tx.update(lgrad, alpha_opt, log_alpha)
+            log_alpha = optax.apply_updates(log_alpha, lupd)
+
+            target_params = jax.tree_util.tree_map(
+                lambda t, s: (1 - cfg.tau) * t + cfg.tau * s,
+                target_params, critic_params)
+            return (actor_params, critic_params, target_params, log_alpha,
+                    (actor_opt, critic_opt, alpha_opt), closs, aloss)
+
+        return update
+
+    # -- training loop -----------------------------------------------------
+    def train(self, total_timesteps: int, updates_per_rollout: int = 8) -> dict:
+        env = self.env
+        B = self.cfg.batch_envs
+        T = env.max_bounces + 2
+        closs = aloss = 0.0
+        while self.total_steps < total_timesteps:
+            self._key, kr, ks = jax.random.split(self._key, 3)
+            state, obs = env.reset(kr, batch=B)
+            for t in range(T):
+                self._key, ka = jax.random.split(self._key)
+                if self.total_steps < self.cfg.learning_starts:
+                    a = jax.random.uniform(ka, (B, 2), minval=self.low,
+                                           maxval=self.high)
+                else:
+                    a, _ = self._sample_action(self.actor_params, obs, ka)
+                active = ~np.asarray(state.done)
+                nstate, nobs, r, term, _ = env.step(state, a)
+                if active.any():
+                    self.buffer.add(np.asarray(obs)[active],
+                                    np.asarray(a)[active],
+                                    np.asarray(r)[active],
+                                    np.asarray(nobs)[active],
+                                    np.asarray(term)[active].astype(np.float32))
+                self.total_steps += int(active.sum())
+                state, obs = nstate, nobs
+                if bool(np.asarray(state.done).all()):
+                    break
+            self.episode_rewards.append(float(np.mean(
+                np.asarray(state.total_reward))))
+            if (self.buffer.size >= self.cfg.batch_size
+                    and self.total_steps >= self.cfg.learning_starts):
+                for _ in range(updates_per_rollout):
+                    self._key, kb, ku = jax.random.split(self._key, 3)
+                    batch = self.buffer.sample(
+                        np.random.default_rng(int(jax.random.randint(
+                            kb, (), 0, 2**31 - 1))), self.cfg.batch_size)
+                    (self.actor_params, self.critic_params,
+                     self.target_critic_params, self.log_alpha,
+                     (self.actor_opt, self.critic_opt, self.alpha_opt),
+                     closs, aloss) = self._update(
+                        self.actor_params, self.critic_params,
+                        self.target_critic_params, self.log_alpha,
+                        (self.actor_opt, self.critic_opt, self.alpha_opt),
+                        tuple(jnp.asarray(b) for b in batch), ku)
+        return {"total_steps": self.total_steps,
+                "critic_loss": float(closs), "actor_loss": float(aloss),
+                "mean_episode_reward": float(np.mean(
+                    self.episode_rewards[-20:]))}
+
+    def predict(self, obs, deterministic: bool = True):
+        obs = jnp.atleast_2d(jnp.asarray(obs, jnp.float32))
+        mean, log_std = self.actor.apply({"params": self.actor_params}, obs)
+        if deterministic:
+            u = mean
+        else:
+            self._key, k = jax.random.split(self._key)
+            u = mean + jnp.exp(log_std) * jax.random.normal(k, mean.shape, mean.dtype)
+        a = self.mid + self.scale * jnp.tanh(u)
+        return np.asarray(a[0] if a.shape[0] == 1 else a)
+
+    def save(self, path):
+        import pickle
+        from pathlib import Path
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+        with open(path, "wb") as f:
+            pickle.dump({"actor": to_np(self.actor_params),
+                         "critic": to_np(self.critic_params),
+                         "log_alpha": float(self.log_alpha),
+                         "config": dataclasses.asdict(self.cfg)}, f)
+
+    def load(self, path):
+        import pickle
+        with open(path, "rb") as f:
+            ck = pickle.load(f)
+        to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        self.actor_params = to_j(ck["actor"])
+        self.critic_params = to_j(ck["critic"])
+        self.log_alpha = jnp.asarray(ck["log_alpha"])
+
+
+class _Buffer:
+    def __init__(self, capacity, obs_dim, action_dim):
+        self.capacity = capacity
+        self.obs = np.zeros((capacity, obs_dim), np.float32)
+        self.action = np.zeros((capacity, action_dim), np.float32)
+        self.reward = np.zeros((capacity,), np.float32)
+        self.next_obs = np.zeros((capacity, obs_dim), np.float32)
+        self.done = np.zeros((capacity,), np.float32)
+        self.pos = 0
+        self.size = 0
+
+    def add(self, obs, action, reward, next_obs, done):
+        n = obs.shape[0]
+        idx = (self.pos + np.arange(n)) % self.capacity
+        self.obs[idx] = obs
+        self.action[idx] = action
+        self.reward[idx] = reward
+        self.next_obs[idx] = next_obs
+        self.done[idx] = done
+        self.pos = int((self.pos + n) % self.capacity)
+        self.size = int(min(self.size + n, self.capacity))
+
+    def sample(self, rng, batch):
+        idx = rng.integers(0, self.size, batch)
+        return (self.obs[idx], self.action[idx], self.reward[idx],
+                self.next_obs[idx], self.done[idx])

@@ -194,7 +194,7 @@ class FBResearchAgent:
             z = _encode_mean(enc, params.encoder, obs)
             tz = jnp.broadcast_to(target_z, z.shape)
             mean, _ = bwd.apply({"params": params.backward}, z, tz)
-            noise = jax.random.normal(key, mean.shape) * noise_scale
+            noise = jax.random.normal(key, mean.shape, mean.dtype) * noise_scale
             return jnp.clip(mean + noise, -1.0, 1.0)
 
         return choose

@@ -132,7 +132,7 @@ class TrainedFBAgent:
         if not use_mean:
             self._sample_key, k = jax.random.split(self._sample_key)
             std = jnp.exp(0.5 * log_var)
-            mean = mean + std * jax.random.normal(k, mean.shape)
+            mean = mean + std * jax.random.normal(k, mean.shape, mean.dtype)
         a = np.clip(np.asarray(mean), -1.0, 1.0)
         return a[0] if a.shape[0] == 1 else a
 

@@ -1,0 +1,111 @@
+"""Device-mesh sharding.
+
+The reference has no distributed layer at all (SURVEY.md §2.5 — SB3 vec-env
+imports are dead code; single process, single CPU).  The TPU-native scaling
+design is:
+
+* **Rendering** — pure data parallelism over the pixel/ray axis: rays are
+  sharded ``P('dp')`` across the mesh, the scene SoA is replicated, and the
+  only cross-chip traffic is the final image gather + ``psum`` of the stats
+  counters, riding ICI.
+* **FB training** — batch sharded over ``dp``; the wide (512/256) FB layers
+  optionally shard their hidden axis over ``tp`` (tensor parallelism sized
+  to the model: at 512 wide it is optional headroom, not a necessity).
+  Gradient reduction is XLA's automatic ``psum`` under jit.
+
+Pipeline/sequence/expert parallelism are deliberately absent: there is no
+layer pipeline depth, the only "sequence" is the bounce chain (handled as
+wavefront scan), and the forward heads are an ensemble, not routed experts
+— see SURVEY.md §2.5 for the per-strategy mapping.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, tp: int = 1) -> Mesh:
+    """Mesh over available devices: ``(dp, tp)`` with ``dp = n // tp``."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    assert n % tp == 0, (n, tp)
+    arr = np.array(devs).reshape(n // tp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def shard_rays(mesh: Mesh, *arrays):
+    """Place ray-wavefront arrays with the batch axis sharded over dp.
+
+    Pads the leading axis up to a multiple of the dp size (XLA requires
+    equal shards); returns (padded arrays, original length).
+    """
+    dp = mesh.shape["dp"]
+    out = []
+    n0 = arrays[0].shape[0]
+    n_pad = (-n0) % dp
+    sh = NamedSharding(mesh, P("dp", *([None] * (arrays[0].ndim - 1))))
+    for a in arrays:
+        if n_pad:
+            pad_width = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
+            a = jnp.pad(a, pad_width)
+        sh_a = NamedSharding(mesh, P("dp", *([None] * (a.ndim - 1))))
+        out.append(jax.device_put(a, sh_a))
+    return out, n0
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (scene, params) across the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_fb_params(mesh: Mesh, params, min_dim: int = 128):
+    """Tensor-parallel placement for FB params: shard the last (output)
+    axis of any kernel whose width is divisible by the tp size and at least
+    ``min_dim``; everything else replicates.  With XLA's SPMD partitioner
+    the matching activations shard automatically and the contractions
+    insert the ICI collectives."""
+    tp = mesh.shape["tp"]
+
+    def place(x):
+        if (x.ndim >= 2 and x.shape[-1] >= min_dim
+                and x.shape[-1] % tp == 0):
+            spec = P(*([None] * (x.ndim - 1) + ["tp"]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, params)
+
+
+def render_whitted_sharded(mesh: Mesh, scene, glights, plights, origins,
+                           dirs, height: int, width: int, **kw):
+    """Data-parallel Whitted render over the mesh: rays sharded, scene
+    replicated, GSPMD inserts the gather at image assembly."""
+    from ..render.renderer import render_whitted
+
+    (o, d), n0 = shard_rays(mesh, origins, dirs)
+    scene = replicate(mesh, scene)
+    glights = replicate(mesh, glights)
+    plights = replicate(mesh, plights)
+    if o.shape[0] != height * width:
+        # Padding changed the ray count; render flat then crop + reshape.
+        from ..trace.shade import terminal_rgb
+        from ..trace.whitted import trace_whitted
+        res = trace_whitted(scene, o, d, max_bounces=kw.get("max_bounces", 5))
+        rgb = terminal_rgb(scene, glights, plights, res,
+                           jnp.asarray(kw.get("background", (0, 0, 0)),
+                                       o.dtype))
+        miss = jnp.asarray(kw.get("miss_colour",
+                                  kw.get("background", (0, 0, 0))), o.dtype)
+        rgb = jnp.where(res.hit[:, None], rgb, miss[None, :])
+        img = rgb[:n0].reshape(height, width, 3)
+        if kw.get("mode", "unit") == "unit":
+            img = jnp.minimum(1.0, img / 255.0)
+        return img
+    return render_whitted(scene, glights, plights, o, d, height, width, **kw)
