@@ -1,0 +1,150 @@
+"""FB-vs-traditional comparison harness.
+
+Rebuild of the main() flows of FB/fb_vs_traditional_chandelier.py:785-931
+and FB/fb_vs_traditional_complex.py:648-796: render traditional and
+FB-guided with identical camera/config, write ``comparison.png`` (side by
+side + 3×-amplified difference heat map) and ``statistics.json`` with the
+reference's exact schema (traditional/fb stats dicts + comparison block
+with speedup / ray_efficiency / small_light_improvement) into a timestamped
+directory.
+"""
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..fb.inference import TrainedFBAgent, small_light_indices
+from ..render.path_renderer import render_path
+from ..scene.types import Scene
+
+
+def _stats_dict(stats, render_time: float) -> dict:
+    d = {
+        "total_rays": int(stats.total_rays),
+        "total_intersections": int(stats.total_intersections),
+        "light_hits": int(stats.light_hits),
+        "small_light_hits": int(stats.small_light_hits),
+        "render_time": render_time,
+        "rays_per_second": (int(stats.total_rays) / render_time
+                            if render_time > 0 else 0),
+    }
+    return d
+
+
+def run_comparison(scene: Scene, *, camera_position, width: int = 200,
+                   height: int = 100, samples_per_pixel: int = 8,
+                   max_bounces: int = 8, model_path: Optional[str] = None,
+                   traditional_mirror_threshold: float = 0.0,
+                   fb_mirror_threshold: float = 0.9,
+                   out_dir: Optional[str] = None, scene_name: str = "scene",
+                   seed: int = 0, save_png: bool = True) -> dict:
+    """Run the two renders and write artifacts.  Returns the stats dict.
+
+    ``traditional_mirror_threshold`` defaults to the chandelier script's
+    ``reflective > 0`` rule; pass 0.9 for the complex script's variant.
+    """
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    out = Path(out_dir or f"./{scene_name}_comparison_{timestamp}")
+    out.mkdir(parents=True, exist_ok=True)
+
+    idx = small_light_indices(scene)
+    agent = TrainedFBAgent(model_path, scene, idx, camera_position)
+    guide = agent.as_guide_fn() if agent.loaded else None
+    fb_prob = 1.0 if agent.loaded else 0.0
+
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+
+    # Traditional.
+    t0 = time.time()
+    trad_img, trad_stats = render_path(
+        scene, k1, width=width, height=height, spp=samples_per_pixel,
+        max_bounces=max_bounces, camera_position=camera_position,
+        mirror_threshold=traditional_mirror_threshold)
+    jax.block_until_ready(trad_img)
+    trad_time = time.time() - t0
+
+    # FB (falls back to traditional sampling with fb_prob=0 when no model,
+    # matching WorkingFBRenderer's fallback).
+    t0 = time.time()
+    fb_img, fb_stats = render_path(
+        scene, k2, width=width, height=height, spp=samples_per_pixel,
+        max_bounces=max_bounces, camera_position=camera_position,
+        mirror_threshold=fb_mirror_threshold, guide_fn=guide,
+        fb_prob=fb_prob)
+    jax.block_until_ready(fb_img)
+    fb_time = time.time() - t0
+
+    trad_np = np.asarray(trad_img)
+    fb_np = np.asarray(fb_img)
+    td = _stats_dict(trad_stats, trad_time)
+    fd = _stats_dict(fb_stats, fb_time)
+    fd["fb_used"] = int(fb_stats.fb_used)
+    fd["fb_success"] = int(fb_stats.fb_used)
+
+    stats = {
+        "traditional": td,
+        "fb": fd,
+        "comparison": {
+            "speedup": trad_time / fb_time if fb_time > 0 else 0,
+            "ray_efficiency": (fd["total_rays"] / td["total_rays"]
+                               if td["total_rays"] else 0),
+            "small_light_improvement": (
+                fd["small_light_hits"] / td["small_light_hits"]
+                if td["small_light_hits"] else 0),
+        },
+    }
+    with open(out / "statistics.json", "w") as f:
+        json.dump(stats, f, indent=2)
+
+    if save_png:
+        _save_comparison_png(out / "comparison.png", trad_np, fb_np,
+                             td, fd)
+    return stats
+
+
+def _save_comparison_png(path, trad_img, fb_img, td, fd):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2, ax3) = plt.subplots(1, 3, figsize=(15, 5))
+    ax1.imshow(np.clip(trad_img, 0, 1))
+    ax1.set_title(f"Traditional\n{td['render_time']:.1f}s, "
+                  f"{td['total_rays']:,} rays")
+    ax1.axis("off")
+    ax2.imshow(np.clip(fb_img, 0, 1))
+    ax2.set_title(f"FB-Accelerated\n{fd['render_time']:.1f}s, "
+                  f"{fd['total_rays']:,} rays")
+    ax2.axis("off")
+    diff = np.abs(fb_img - trad_img)
+    ax3.imshow(np.clip(diff * 3, 0, 1), cmap="hot")
+    ax3.set_title("Difference (Enhanced 3x)")
+    ax3.axis("off")
+    plt.tight_layout()
+    plt.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def chandelier_comparison(model_path=None, **kw):
+    from ..scene.library import chandelier_scene
+    scene, _, _, p = chandelier_scene()
+    kw.setdefault("camera_position", p["camera_position"])
+    kw.setdefault("traditional_mirror_threshold", 0.0)   # `reflective > 0`
+    return run_comparison(scene, model_path=model_path,
+                          scene_name="chandelier", **kw)
+
+
+def complex_comparison(model_path=None, **kw):
+    from ..scene.complex import create_complex_scene, create_camera_for_scene
+    scene, _, _ = create_complex_scene()
+    kw.setdefault("camera_position", create_camera_for_scene())
+    kw.setdefault("traditional_mirror_threshold", 0.9)   # `reflective > 0.9`
+    return run_comparison(scene, model_path=model_path,
+                          scene_name="complex", **kw)
