@@ -78,10 +78,14 @@ def main():
     guide = agent.as_guide_fn()
 
     def run_fb(k=key):
+        # stepwise: the guide network compiles as its own small program
+        # instead of being inlined into the level scan (the fused guided
+        # program takes prohibitively long through the remote compiler).
         return render_path(scene, k, width=W, height=H, spp=SPP,
                            max_bounces=MB,
                            camera_position=p["camera_position"],
-                           mirror_threshold=0.9, guide_fn=guide, fb_prob=1.0)
+                           mirror_threshold=0.9, guide_fn=guide, fb_prob=1.0,
+                           impl="stepwise")
 
     try:
         t0 = time.time()

@@ -22,22 +22,11 @@ from ..trace.path import PathStats, trace_path
 from .camera import perspective_rays
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
-                                   "mirror_threshold", "guide_fn", "fov",
-                                   "collect_stats"))
-def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
-                spp: int = 4, max_bounces: int = 3, fov: float = 60.0,
-                camera_position=(0.0, 2.0, 0.0),
-                mirror_threshold: float = 0.9,
-                background=(2.0, 2.0, 5.0),
-                guide_fn: Optional[Callable] = None,
-                fb_prob: float = 1.0,
-                collect_stats: bool = True):
-    """Render ``[H, W, 3]`` unit-range image + PathStats."""
+@partial(jax.jit, static_argnames=("width", "height", "spp", "fov"))
+def _camera_bundle(key, *, width, height, spp, fov, camera_position):
     dtype = jnp.float32
-    k_jit, k_trace = jax.random.split(key)
     # Jitter: sample offsets 0.5 + (U - 0.5) per sample per pixel.
-    jit = jax.random.uniform(k_jit, (spp, height, width, 2), dtype)
+    jit = jax.random.uniform(key, (spp, height, width, 2), dtype)
 
     def rays_for_sample(j):
         return perspective_rays(width, height, fov=fov,
@@ -45,16 +34,41 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
                                 sample_xy=j, dtype=dtype)
 
     origins, dirs = jax.vmap(rays_for_sample)(jit)      # [spp, H*W, 3]
-    origins = origins.reshape(-1, 3)
-    dirs = dirs.reshape(-1, 3)
+    return origins.reshape(-1, 3), dirs.reshape(-1, 3)
 
+
+@partial(jax.jit, static_argnames=("spp", "height", "width"))
+def _assemble(rgb, *, spp, height, width):
+    # Integer //spp average of integer sample colours (reference quirk).
+    sample_sum = jnp.sum(rgb.reshape(spp, height, width, 3), axis=0)
+    pixel = jnp.floor(sample_sum / spp)
+    return jnp.minimum(1.0, pixel / 255.0)
+
+
+def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
+                spp: int = 4, max_bounces: int = 3, fov: float = 60.0,
+                camera_position=(0.0, 2.0, 0.0),
+                mirror_threshold: float = 0.9,
+                background=(2.0, 2.0, 5.0),
+                guide_fn: Optional[Callable] = None,
+                fb_prob: float = 1.0,
+                collect_stats: bool = True,
+                impl: str = "fused"):
+    """Render ``[H, W, 3]`` unit-range image + PathStats.
+
+    ``impl`` selects the trace implementation (see ``trace_path``);
+    "stepwise" keeps TPU compile time flat in max_bounces and compiles the
+    guide network separately from the tracer.
+    """
+    k_jit, k_trace = jax.random.split(key)
+    origins, dirs = _camera_bundle(
+        k_jit, width=width, height=height, spp=spp, fov=fov,
+        camera_position=jnp.asarray(camera_position, jnp.float32))
     rgb, stats = trace_path(scene, origins, dirs, k_trace,
                             max_bounces=max_bounces,
                             mirror_threshold=mirror_threshold,
                             background=background, guide_fn=guide_fn,
-                            fb_prob=fb_prob, collect_stats=collect_stats)
-    # Integer //spp average of integer sample colours (reference quirk).
-    sample_sum = jnp.sum(rgb.reshape(spp, height, width, 3), axis=0)
-    pixel = jnp.floor(sample_sum / spp)
-    img = jnp.minimum(1.0, pixel / 255.0)
+                            fb_prob=fb_prob, collect_stats=collect_stats,
+                            impl=impl)
+    img = _assemble(rgb, spp=spp, height=height, width=width)
     return img, stats

@@ -85,21 +85,50 @@ def make_observation(point, normal, ray_dir, bounce_count, colour, scene,
     ], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
-                                   "guide_fn", "collect_stats"))
 def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                key: jax.Array, *, max_bounces: int = 3,
                mirror_threshold: float = 0.9,
                background=(2.0, 2.0, 5.0),
                guide_fn: Optional[Callable] = None,
                fb_prob: float = 1.0,
-               collect_stats: bool = True):
+               collect_stats: bool = True,
+               impl: str = "fused"):
     """Trace ``[R]`` sample rays to integer sample colours ``[R, 3]``.
 
     ``guide_fn(obs[R,22]) -> action[R,2]`` enables the FB branch; actions are
     clipped to [-1, 1] and mapped θ=(a₀+1)π/4, φ=a₁π in the renderer tangent
     frame.  Returns ``(rgb, PathStats)``.
+
+    ``impl="fused"`` compiles the whole level scan (+ the guide network, if
+    any) into one XLA program; ``impl="stepwise"`` runs a Python loop over
+    levels calling one small jitted level kernel + the guide as separate
+    programs — bit-identical results (same key schedule), but compile time
+    scales with ONE level instead of the whole unrolled pipeline, which
+    matters on slow remote-compile TPU paths.
     """
+    if impl == "stepwise":
+        return _trace_path_stepwise(scene, origins, dirs, key,
+                                    max_bounces=max_bounces,
+                                    mirror_threshold=mirror_threshold,
+                                    background=background, guide_fn=guide_fn,
+                                    fb_prob=fb_prob,
+                                    collect_stats=collect_stats)
+    return _trace_path_fused(scene, origins, dirs, key,
+                             max_bounces=max_bounces,
+                             mirror_threshold=mirror_threshold,
+                             background=background, guide_fn=guide_fn,
+                             fb_prob=fb_prob, collect_stats=collect_stats)
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
+                                   "guide_fn", "collect_stats"))
+def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
+                      key: jax.Array, *, max_bounces: int = 3,
+                      mirror_threshold: float = 0.9,
+                      background=(2.0, 2.0, 5.0),
+                      guide_fn: Optional[Callable] = None,
+                      fb_prob: float = 1.0,
+                      collect_stats: bool = True):
     dtype = origins.dtype
     R = origins.shape[0]
     bg = jnp.asarray(background, dtype)
@@ -211,3 +240,125 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         z = jnp.zeros((), jnp.int32)
         stats = PathStats(z, z, z, z, z)
     return rgb, stats
+
+
+# ---------------------------------------------------------------------------
+# Stepwise implementation: identical math + key schedule, one small jitted
+# kernel per level plus the guide as its own program.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold"))
+def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
+                  max_bounces: int, mirror_threshold: float):
+    dtype = o.dtype
+    R = o.shape[0]
+    emissive_mask = scene.emitive > 0
+    small_mask = emissive_mask & (scene.radius < 0.5)
+    is_mirror = scene.reflective > mirror_threshold
+    no_sup = jnp.full((R,), NO_SUPPRESS, jnp.int32)
+
+    hit = nearest_hit(o, d, scene, no_sup, by_abs=True)
+    found = running & hit.found
+    emis = found & emissive_mask[hit.idx]
+    mirror = found & ~emis & is_mirror[hit.idx]
+    diffuse = found & ~emis & ~mirror
+    cont = mirror | diffuse
+
+    to_light = scene.centre[None, :, :] - hit.point[:, None, :]
+    dist = vec.magnitude(to_light)
+    cosang = vec.dot(vec.normalise_safe(to_light), hit.normal[:, None, :])
+    w = jnp.maximum(cosang, 0.0) / jnp.maximum(dist * dist, 1e-30) * 0.3
+    lmask = emissive_mask[None, :] & (jnp.arange(scene.num_spheres)[None, :]
+                                      != hit.idx[:, None])
+    w = jnp.where(lmask, w, 0.0)
+    direct = jnp.sum(jnp.trunc(w[..., None] * scene.colour[None].astype(dtype)),
+                     axis=1)
+
+    k_diff, k_fb = jax.random.split(subkey)
+    refl_d = vec.reflect(d, hit.normal)
+    diff_d = sampling.cosine_weighted(k_diff, hit.normal, "renderer")
+    fb_u = jax.random.uniform(k_fb, (R,), dtype)
+
+    obs = make_observation(hit.point, hit.normal, d,
+                          jnp.full((R,), lvl, dtype),
+                          jnp.zeros((R, 3), dtype), scene, hit.idx,
+                          max_bounces)
+
+    new_d = jnp.where(mirror[:, None], refl_d, diff_d)
+    new_o = hit.point + hit.normal * 0.001
+    o = jnp.where(cont[:, None], new_o, o)
+    d = jnp.where(cont[:, None], new_d, d)
+
+    state = jnp.where(running,
+                      jnp.where(emis, _EMISSIVE,
+                                jnp.where(cont, _CONT, _MISS)),
+                      _INACTIVE).astype(jnp.int8)
+    albedo = scene.colour[hit.idx].astype(dtype)
+    stats = (jnp.sum(running), jnp.sum(found), jnp.sum(emis),
+             jnp.sum(found & small_mask[hit.idx]))
+    return (o, d, running & cont, state, albedo, direct, obs, diffuse,
+            fb_u, hit.normal, stats)
+
+
+@jax.jit
+def _apply_guide(action, normal, use_fb, d, cont):
+    fb_d = sampling.fb_action_to_direction(jnp.clip(action, -1.0, 1.0),
+                                           normal, "renderer")
+    return jnp.where((use_fb & cont)[:, None], fb_d, d)
+
+
+@jax.jit
+def _fold_level(state, albedo, direct, bg, value):
+    combined = jnp.trunc(albedo * jnp.minimum(255.0, direct + value) / 255.0)
+    value = jnp.where((state == _CONT)[:, None], combined, value)
+    value = jnp.where((state == _EMISSIVE)[:, None], albedo, value)
+    value = jnp.where((state == _MISS)[:, None], bg[None, :], value)
+    return value
+
+
+def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
+                         max_bounces: int, mirror_threshold: float,
+                         background, guide_fn, fb_prob: float,
+                         collect_stats: bool):
+    dtype = origins.dtype
+    R = origins.shape[0]
+    bg = jnp.asarray(background, dtype)
+    d = vec.normalise_safe(dirs.astype(dtype))
+    o = origins
+    running = jnp.ones((R,), bool)
+    keys = jax.random.split(key, max_bounces)
+
+    recs = []
+    stats_sum = [0, 0, 0, 0]
+    fb_used = 0
+    for k in range(max_bounces):
+        (o, d, running, state, albedo, direct, obs, diffuse, fb_u,
+         normal, stats) = _level_kernel(
+            scene, o, d, running, keys[k], jnp.asarray(float(k), dtype),
+            max_bounces=max_bounces, mirror_threshold=mirror_threshold)
+        if guide_fn is not None:
+            use_fb = diffuse & (fb_u < fb_prob)
+            action = guide_fn(obs)
+            d = _apply_guide(action, normal, use_fb, d, diffuse)
+            fb_used += int(jnp.sum(use_fb))
+        recs.append((state, albedo, direct))
+        for i in range(4):
+            stats_sum[i] += int(stats[i])
+        if not bool(jnp.any(running)):
+            # Remaining levels would record only _INACTIVE states.
+            break
+
+    still = int(jnp.sum(running))
+    value = jnp.broadcast_to(bg, (R, 3))
+    for state, albedo, direct in reversed(recs):
+        value = _fold_level(state, albedo, direct, bg, value)
+
+    zi = jnp.int32
+    stats = PathStats(
+        total_rays=jnp.asarray(stats_sum[0] + still, zi),
+        total_intersections=jnp.asarray(stats_sum[1], zi),
+        light_hits=jnp.asarray(stats_sum[2], zi),
+        small_light_hits=jnp.asarray(stats_sum[3], zi),
+        fb_used=jnp.asarray(fb_used, zi),
+    )
+    return value, stats
