@@ -121,7 +121,8 @@ class RayTracerEnv:
     def _brightness_reward(self, s: EnvState, bounce) -> jnp.ndarray:
         """RL variant _calculate_reward (RL/ray_tracer_env.py:224-252)."""
         res = TraceResult(hit=s.hit, idx=s.idx, point=s.point,
-                          normal=s.normal, bounces=s.bounce, through=s.through)
+                          normal=s.normal, t=jnp.zeros_like(s.point[:, 0]),
+                          bounces=s.bounce, through=s.through)
         rgb = self._shade(res)
         brightness = jnp.sum(rgb, axis=-1) / (3.0 * 255.0)
         reward = brightness - 0.01 * bounce.astype(jnp.float32)

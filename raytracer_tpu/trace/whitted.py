@@ -51,6 +51,10 @@ class TraceResult:
     idx: jnp.ndarray       # [R] i32  — sphere index of the terminus
     point: jnp.ndarray     # [R, 3]
     normal: jnp.ndarray    # [R, 3]
+    t: jnp.ndarray         # [R] f    — the terminus's own segment distance
+                           #            (Intersection.distance semantics: t of
+                           #            the final intersection relative to the
+                           #            last ray segment, not cumulative)
     bounces: jnp.ndarray   # [R] i32  — recursion depth at the terminus
     through: jnp.ndarray   # [R] i32  — transparent objects passed through
 
@@ -116,19 +120,21 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     status = jnp.full((R,), ACTIVE, jnp.int32)
     zero3 = jnp.zeros((R, 3), dtype)
     zi = jnp.zeros((R,), jnp.int32)
+    zf = jnp.zeros((R,), dtype)
     res_idx, res_point, res_normal = zi, zero3, zero3
-    res_bounces, res_through = zi, zi
+    res_t, res_bounces, res_through = zf, zi, zi
     fb_valid = jnp.zeros((R,), bool)
     fb_idx, fb_point, fb_normal = zi, zero3, zero3
-    fb_bounces, fb_through = zi, zi
+    fb_t, fb_bounces, fb_through = zf, zi, zi
 
     is_mirror = scene.reflective == 1.0      # the `== True` rule, RL/ray.py:180
     is_glass = scene.transparent == 1.0      # RL/ray.py:204
 
     def level(_, carry):
         (o, d, suppress_id, bounces, through, status,
-         res_idx, res_point, res_normal, res_bounces, res_through,
-         fb_valid, fb_idx, fb_point, fb_normal, fb_bounces, fb_through) = carry
+         res_idx, res_point, res_normal, res_t, res_bounces, res_through,
+         fb_valid, fb_idx, fb_point, fb_normal, fb_t, fb_bounces,
+         fb_through) = carry
 
         active = status == ACTIVE
         hit = nearest_hit(o, d, scene, suppress_id)
@@ -141,6 +147,7 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         res_idx = jnp.where(use_fb, fb_idx, res_idx)
         res_point = jnp.where(use_fb[:, None], fb_point, res_point)
         res_normal = jnp.where(use_fb[:, None], fb_normal, res_normal)
+        res_t = jnp.where(use_fb, fb_t, res_t)
         res_bounces = jnp.where(use_fb, fb_bounces, res_bounces)
         res_through = jnp.where(use_fb, fb_through, res_through)
         status = jnp.where(fail, jnp.where(fb_valid, DONE_HIT, DONE_NONE), status)
@@ -155,6 +162,7 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         res_idx = jnp.where(terminal, hit.idx, res_idx)
         res_point = jnp.where(terminal[:, None], hit.point, res_point)
         res_normal = jnp.where(terminal[:, None], hit.normal, res_normal)
+        res_t = jnp.where(terminal, hit.t, res_t)
         res_bounces = jnp.where(terminal, bounces, res_bounces)
         res_through = jnp.where(terminal, through, res_through)
         status = jnp.where(terminal, DONE_HIT, status)
@@ -164,6 +172,7 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         fb_idx = jnp.where(mirror, hit.idx, fb_idx)
         fb_point = jnp.where(mirror[:, None], hit.point, fb_point)
         fb_normal = jnp.where(mirror[:, None], hit.normal, fb_normal)
+        fb_t = jnp.where(mirror, hit.t, fb_t)
         fb_bounces = jnp.where(mirror, bounces, fb_bounces)
         fb_through = jnp.where(mirror, through, fb_through)
         refl_d = vec.reflect(d, hit.normal)
@@ -178,6 +187,7 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         res_idx = jnp.where(use_fb2, fb_idx, res_idx)
         res_point = jnp.where(use_fb2[:, None], fb_point, res_point)
         res_normal = jnp.where(use_fb2[:, None], fb_normal, res_normal)
+        res_t = jnp.where(use_fb2, fb_t, res_t)
         res_bounces = jnp.where(use_fb2, fb_bounces, res_bounces)
         res_through = jnp.where(use_fb2, fb_through, res_through)
         status = jnp.where(trapped, jnp.where(fb_valid, DONE_HIT, DONE_NONE), status)
@@ -194,19 +204,21 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         through = jnp.where(glass, through + 1, through)
 
         return (o, d, suppress_id, bounces, through, status,
-                res_idx, res_point, res_normal, res_bounces, res_through,
-                fb_valid, fb_idx, fb_point, fb_normal, fb_bounces, fb_through)
+                res_idx, res_point, res_normal, res_t, res_bounces,
+                res_through, fb_valid, fb_idx, fb_point, fb_normal, fb_t,
+                fb_bounces, fb_through)
 
     carry = (o, d, suppress_id, bounces, through, status,
-             res_idx, res_point, res_normal, res_bounces, res_through,
-             fb_valid, fb_idx, fb_point, fb_normal, fb_bounces, fb_through)
+             res_idx, res_point, res_normal, res_t, res_bounces, res_through,
+             fb_valid, fb_idx, fb_point, fb_normal, fb_t, fb_bounces,
+             fb_through)
     # Levels 0..max_bounces can produce intersections; one extra level turns
     # an over-budget chain into its fallback/None.
     carry = jax.lax.fori_loop(0, max_bounces + 2, level, carry)
     (_, _, _, _, _, status,
-     res_idx, res_point, res_normal, res_bounces, res_through,
+     res_idx, res_point, res_normal, res_t, res_bounces, res_through,
      *_rest) = carry
 
     return TraceResult(hit=status == DONE_HIT, idx=res_idx, point=res_point,
-                       normal=res_normal, bounces=res_bounces,
+                       normal=res_normal, t=res_t, bounces=res_bounces,
                        through=res_through)
