@@ -1,0 +1,149 @@
+"""Pallas TPU kernel: fused ray-sphere intersect-all + nearest select.
+
+The hot inner loop of every tracer (SURVEY.md §3.1) as one VMEM-resident
+kernel: a tile of rays stays in VMEM in axis-split layout ``[8, TILE]``
+(lanes along rays), the sphere list streams through an unrolled scalar loop,
+and the running argmin lives in registers — no ``[R, N]`` temporaries in
+HBM, unlike the XLA broadcast formulation.
+
+Semantics identical to :func:`raytracer_tpu.core.intersect.nearest_hit`
+(tca/thc with the reference's guards, signed-t or |t| ordering, id
+suppression); equality-tested against it.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.types import Scene
+from .intersect import NearestHit
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except ImportError:                                     # pragma: no cover
+    HAVE_PALLAS = False
+
+TILE = 2048          # rays per program (16 sublane rows of 128 lanes)
+ROWS = TILE // 128
+
+
+def _kernel(nspheres, by_abs, o_ref, d_ref, sup_ref, sph_ref, out_ref):
+    # o_ref/d_ref: [ROWS*3, 128] with x rows [0:ROWS], y rows [ROWS:2R]...
+    ox = o_ref[0:ROWS, :]
+    oy = o_ref[ROWS:2 * ROWS, :]
+    oz = o_ref[2 * ROWS:3 * ROWS, :]
+    dx = d_ref[0:ROWS, :]
+    dy = d_ref[ROWS:2 * ROWS, :]
+    dz = d_ref[2 * ROWS:3 * ROWS, :]
+    sup = sup_ref[0:ROWS, :]
+
+    big = jnp.float32(3.4e38)
+    best_metric = jnp.full((ROWS, 128), big, jnp.float32)
+    best_t = jnp.zeros((ROWS, 128), jnp.float32)
+    best_idx = jnp.zeros((ROWS, 128), jnp.int32)
+    found = jnp.zeros((ROWS, 128), jnp.bool_)
+
+    def body(n, carry):
+        best_metric, best_t, best_idx, found = carry
+        cx = sph_ref[n, 0]
+        cy = sph_ref[n, 1]
+        cz = sph_ref[n, 2]
+        r = sph_ref[n, 3]
+        sid = sph_ref[n, 4]
+        lx = cx - ox
+        ly = cy - oy
+        lz = cz - oz
+        tca = lx * dx + ly * dy + lz * dz
+        ll = lx * lx + ly * ly + lz * lz
+        d2 = jnp.maximum(ll - tca * tca, 0.0)
+        r2 = r * r
+        thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+        t = tca - thc
+        valid = (tca >= 0.0) & (d2 <= r2) & (sid != sup)
+        metric = jnp.abs(t) if by_abs else t
+        better = valid & (metric < best_metric)
+        best_metric = jnp.where(better, metric, best_metric)
+        best_t = jnp.where(better, t, best_t)
+        best_idx = jnp.where(better, n, best_idx)
+        found = found | valid
+        return best_metric, best_t, best_idx, found
+
+    best_metric, best_t, best_idx, found = jax.lax.fori_loop(
+        0, nspheres, body, (best_metric, best_t, best_idx, found))
+
+    out_ref[0:ROWS, :] = best_t
+    out_ref[ROWS:2 * ROWS, :] = pltpu.bitcast(best_idx, jnp.float32)
+    out_ref[2 * ROWS:3 * ROWS, :] = found.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("by_abs",))
+def nearest_hit_pallas(o: jnp.ndarray, d: jnp.ndarray, scene: Scene,
+                       suppress_id: jnp.ndarray,
+                       by_abs: bool = False) -> NearestHit:
+    """Drop-in Pallas replacement for ``nearest_hit`` (f32, [R, 3] rays)."""
+    from ..core import vec
+
+    R = o.shape[0]
+    n_pad = (-R) % TILE
+    Rp = R + n_pad
+    o32 = jnp.pad(o.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    d32 = jnp.pad(d.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    sup = jnp.pad(suppress_id.astype(jnp.int32), (0, n_pad))
+
+    # Axis-split layout, PER TILE: block i carries [x|y|z] rows of tile i.
+    grid_n = Rp // TILE
+
+    def split_layout(a):
+        parts = [a[:, i].reshape(grid_n, ROWS, 128) for i in range(3)]
+        return jnp.concatenate(parts, axis=1).reshape(grid_n * 3 * ROWS, 128)
+
+    o_l = split_layout(o32)
+    d_l = split_layout(d32)
+
+    N = scene.num_spheres
+    sph = jnp.stack([
+        scene.centre[:, 0].astype(jnp.float32),
+        scene.centre[:, 1].astype(jnp.float32),
+        scene.centre[:, 2].astype(jnp.float32),
+        scene.radius.astype(jnp.float32),
+        scene.id.astype(jnp.float32),     # ids compared as f32 (exact < 2^24)
+    ], axis=-1)                                          # [N, 5]
+
+    grid = Rp // TILE
+    rows3 = 3 * ROWS
+    out = pl.pallas_call(
+        partial(_kernel, N, by_abs),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rows3, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows3, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # spheres, whole
+        ],
+        out_specs=pl.BlockSpec((rows3, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * rows3, 128), jnp.float32),
+    )(o_l.reshape(grid * rows3, 128),
+      d_l.reshape(grid * rows3, 128),
+      sup.astype(jnp.float32).reshape(Rp // 128, 128),
+      sph)
+
+    out = out.reshape(grid, rows3, 128)
+    t = out[:, 0:ROWS, :].reshape(Rp)[:R]
+    idx = jax.lax.bitcast_convert_type(out[:, ROWS:2 * ROWS, :],
+                                       jnp.int32).reshape(Rp)[:R]
+    found = out[:, 2 * ROWS:3 * ROWS, :].reshape(Rp)[:R] > 0.5
+
+    centre = scene.centre[idx]
+    phit = o + d * t[:, None].astype(o.dtype)
+    nhit = vec.normalise_safe(phit - centre)
+    return NearestHit(found=found, idx=idx, t=t.astype(o.dtype),
+                      point=phit, normal=nhit)

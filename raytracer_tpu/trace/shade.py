@@ -73,10 +73,27 @@ def terminal_rgb(scene: Scene, glights: GlobalLights, plights: PointLights,
         shadow_o = jnp.broadcast_to(res.point[:, None, :], (R, P, 3)).reshape(-1, 3)
         shadow_d = to_light.reshape(-1, 3)
         shadow_sup = jnp.broadcast_to(self_id[:, None], (R, P)).reshape(-1)
-        sres = trace_whitted(scene, shadow_o, shadow_d,
-                             max_bounces=shadow_max_bounces,
-                             suppress_id=shadow_sup)
-        terminus_id = jnp.where(sres.hit, scene.id[sres.idx], NO_ID)
+        if shadow_max_bounces == 0:
+            # Fast path: with max_bounces=0 the recursive shadow trace
+            # reduces exactly to one nearest-hit sweep — a mirror blocker
+            # returns *itself* (its recursion is over budget → fallback,
+            # RL/ray.py:198-201), a glass blocker returns None through the
+            # transparent level (:226-229), anything else terminates on
+            # itself.  So: lit ⇔ nearest non-suppressed hit is the light's
+            # sphere and not glass-ruled.
+            from ..core.intersect import nearest_hit
+            from ..core import vec as _vec
+            sh = nearest_hit(shadow_o, _vec.normalise_safe(shadow_d), scene,
+                             shadow_sup)
+            glass_rule = ((scene.transparent[sh.idx] == 1.0)
+                          & (scene.reflective[sh.idx] != 1.0))
+            terminus_id = jnp.where(sh.found & ~glass_rule,
+                                    scene.id[sh.idx], NO_ID)
+        else:
+            sres = trace_whitted(scene, shadow_o, shadow_d,
+                                 max_bounces=shadow_max_bounces,
+                                 suppress_id=shadow_sup)
+            terminus_id = jnp.where(sres.hit, scene.id[sres.idx], NO_ID)
         lit = (terminus_id.reshape(R, P) == plights.id[None, :])
         # Skip a light whose id matches the shaded object (RL/ray.py:48);
         # also guards lanes where the shadow origin is garbage (miss lanes).
