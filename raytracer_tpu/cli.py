@@ -1,0 +1,228 @@
+"""Command-line interface — the reference's script entry points as
+subcommands.
+
+    python -m raytracer_tpu.cli render --scene true_original
+    python -m raytracer_tpu.cli train-ppo --timesteps 50000
+    python -m raytracer_tpu.cli train-sac --timesteps 50000
+    python -m raytracer_tpu.cli train-q --episodes 1000
+    python -m raytracer_tpu.cli train-fb [--quick] [--scenes N]
+    python -m raytracer_tpu.cli train-fb-chandelier [--quick] [--scenes N]
+    python -m raytracer_tpu.cli train-fb-complex [--quick] [--scenes N]
+    python -m raytracer_tpu.cli compare-chandelier [--model PATH]
+    python -m raytracer_tpu.cli compare-complex [--model PATH]
+    python -m raytracer_tpu.cli experiment [--mode balanced_mode]
+    python -m raytracer_tpu.cli rl-pipeline  (train→evaluate→benchmark)
+
+Mirrors: the notebooks' render loop, RL/train_raytracer.py,
+RL/simple_train.py, RL/ray_tracer_rl_complete.py's full pipeline,
+FB/train_*.py's --quick/--scenes argparse (FB/train_chandelier_only.py:
+330-343), and the comparison mains.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_render(args):
+    import jax
+    import numpy as np
+    from .render.camera import grid_rays, perspective_rays
+    from .render.renderer import render_whitted
+    from .scene import library
+
+    fn = {"true_original": library.true_original_scene,
+          "planets2": library.planets2_scene,
+          "marbles4": library.marbles4_scene,
+          "chandelier": library.chandelier_scene,
+          "custom": library.custom_scene}[args.scene]
+    scene, gl, pl, p = fn()
+    if "ray_count" in p:
+        origins, dirs, h, w = grid_rays(p["ray_count"], p["ray_step"],
+                                        args.multiple or p.get("multiple", 1),
+                                        origin=p["camera_position"])
+    else:
+        w, h = args.width, args.height
+        origins, dirs = perspective_rays(w, h, fov=p.get("fov", 60),
+                                         origin=p["camera_position"],
+                                         variant="fb")
+    t0 = time.time()
+    img = render_whitted(scene, gl, pl, origins, dirs, h, w,
+                         max_bounces=p["max_bounces"],
+                         background=p["background"],
+                         miss_colour=p.get("sky_colour"), mode="unit")
+    img.block_until_ready()
+    dt = time.time() - t0
+    arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+    from .utils.io import save_image
+    save_image(args.out, arr)
+    print(f"rendered {w}x{h} in {dt:.2f}s → {args.out} "
+          f"({h * w / dt / 1e6:.2f} Mrays/s)")
+
+
+def _make_rl_env(variant="rl", max_bounces=5):
+    from .env.raytracer_env import RayTracerEnv
+    from .env.scenes import training_scene_v1
+    scene, gl, pl = training_scene_v1()
+    return RayTracerEnv(scene, image_width=800, image_height=600, fov=90,
+                        max_bounces=max_bounces, global_lights=gl,
+                        point_lights=pl, variant=variant)
+
+
+def cmd_train_ppo(args):
+    from .agents.ppo import PPOConfig, PPOTrainer
+    env = _make_rl_env()
+    tr = PPOTrainer(env, PPOConfig(learning_rate=args.lr), seed=args.seed)
+    out = tr.train(args.timesteps)
+    print(json.dumps(out))
+    tr.save(args.out)
+    print(f"saved → {args.out}")
+
+
+def cmd_train_sac(args):
+    from .agents.sac import SACConfig, SACTrainer
+    env = _make_rl_env()
+    tr = SACTrainer(env, SACConfig(learning_rate=args.lr), seed=args.seed)
+    out = tr.train(args.timesteps)
+    print(json.dumps(out))
+    tr.save(args.out)
+    print(f"saved → {args.out}")
+
+
+def cmd_train_q(args):
+    from .agents.tabular_q import TabularQConfig, TabularQTrainer
+    env = _make_rl_env(max_bounces=5)
+    tr = TabularQTrainer(env, TabularQConfig(), seed=args.seed)
+    hist = tr.train(num_episodes=args.episodes)
+    print(f"episodes={len(hist)} avg_reward_last_100="
+          f"{sum(hist[-100:]) / max(1, len(hist[-100:])):.3f} "
+          f"test={tr.test():.3f}")
+
+
+def _fb_args(args):
+    if args.quick:
+        return 10, 50
+    return args.scenes, 150
+
+
+def cmd_train_fb(args, trainer_cls=None):
+    from .fb.trainer import (ChandelierOnlyTrainer, MultiSceneFBTrainer,
+                             RayTracedComplexTrainer)
+    cls = {None: MultiSceneFBTrainer,
+           "chandelier": ChandelierOnlyTrainer,
+           "complex": RayTracedComplexTrainer}[trainer_cls]
+    scenes, steps = _fb_args(args)
+    tr = cls(num_training_scenes=scenes)
+    report = tr.run_training(num_scenes=scenes, scenes_per_batch=20,
+                             training_steps_per_scene=steps)
+    if trainer_cls == "chandelier":
+        tr.test_on_chandelier(num_tests=200)
+    else:
+        tr.test_on_complex(num_tests=200)
+    print(f"avg hit rate: "
+          f"{report['performance_statistics']['avg_hit_rate']:.3f}")
+    print(f"outputs → {tr.output_dir}")
+
+
+def cmd_compare(args, which):
+    from .compare.harness import chandelier_comparison, complex_comparison
+    fn = chandelier_comparison if which == "chandelier" else complex_comparison
+    stats = fn(model_path=args.model, width=args.width, height=args.height,
+               samples_per_pixel=args.spp, max_bounces=args.bounces)
+    print(json.dumps(stats["comparison"], indent=2))
+
+
+def cmd_experiment(args):
+    from .compare.experiment import CustomSceneExperiment
+    exp = CustomSceneExperiment(mode=args.mode)
+    out = exp.run_custom_scene_experiment()
+    print(f"results → {out}")
+
+
+def cmd_rl_pipeline(args):
+    """The full pipeline of RL/ray_tracer_rl_complete.py: train → evaluate →
+    benchmark RL vs random."""
+    from .agents.sac import SACConfig, SACTrainer
+    from .compare.workbench import compare_rl_vs_random, evaluate_policy
+    from .env.raytracer_env import RayTracerEnv
+    from .env.scenes import training_scene_complete
+
+    scene, gl, pl = training_scene_complete()
+    env = RayTracerEnv(scene, image_width=400, image_height=300, fov=75,
+                       max_bounces=8, global_lights=gl, point_lights=pl,
+                       variant="rl")
+    tr = SACTrainer(env, SACConfig(learning_starts=min(1000,
+                                                       args.timesteps // 4)),
+                    seed=args.seed)
+    print("training...")
+    print(json.dumps(tr.train(args.timesteps)))
+    tr.save(args.out)
+    print("evaluating...")
+    policy = lambda obs: tr.predict(obs, deterministic=True)
+    print(json.dumps(evaluate_policy(env, policy, episodes=50)))
+    print("benchmark vs random...")
+    print(json.dumps(compare_rl_vs_random(env, policy, episodes=100),
+                     indent=2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="raytracer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render")
+    r.add_argument("--scene", default="true_original")
+    r.add_argument("--out", default="render_output.png")
+    r.add_argument("--width", type=int, default=800)
+    r.add_argument("--height", type=int, default=600)
+    r.add_argument("--multiple", type=int, default=None)
+    r.set_defaults(fn=cmd_render)
+
+    for name, fn in [("train-ppo", cmd_train_ppo), ("train-sac", cmd_train_sac)]:
+        t = sub.add_parser(name)
+        t.add_argument("--timesteps", type=int, default=50_000)
+        t.add_argument("--lr", type=float, default=3e-4)
+        t.add_argument("--seed", type=int, default=0)
+        t.add_argument("--out", default=f"{name.replace('-', '_')}_model.pkl")
+        t.set_defaults(fn=fn)
+
+    q = sub.add_parser("train-q")
+    q.add_argument("--episodes", type=int, default=1000)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(fn=cmd_train_q)
+
+    for name, which in [("train-fb", None),
+                        ("train-fb-chandelier", "chandelier"),
+                        ("train-fb-complex", "complex")]:
+        t = sub.add_parser(name)
+        t.add_argument("--quick", action="store_true")
+        t.add_argument("--scenes", type=int, default=100)
+        t.set_defaults(fn=lambda a, w=which: cmd_train_fb(a, w))
+
+    for name in ("compare-chandelier", "compare-complex"):
+        c = sub.add_parser(name)
+        c.add_argument("--model", default=None)
+        c.add_argument("--width", type=int, default=200)
+        c.add_argument("--height", type=int, default=100)
+        c.add_argument("--spp", type=int, default=8)
+        c.add_argument("--bounces", type=int, default=8)
+        c.set_defaults(fn=lambda a, w=name.split("-")[1]: cmd_compare(a, w))
+
+    e = sub.add_parser("experiment")
+    e.add_argument("--mode", default="balanced_mode",
+                   choices=["fast_mode", "balanced_mode", "quality_mode"])
+    e.set_defaults(fn=cmd_experiment)
+
+    rp = sub.add_parser("rl-pipeline")
+    rp.add_argument("--timesteps", type=int, default=20_000)
+    rp.add_argument("--seed", type=int, default=0)
+    rp.add_argument("--out", default="raytracer_final.pkl")
+    rp.set_defaults(fn=cmd_rl_pipeline)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
