@@ -45,6 +45,26 @@ def _assemble(rgb, *, spp, height, width):
     return jnp.minimum(1.0, pixel / 255.0)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
+                                   "mirror_threshold", "guide_fn", "fov",
+                                   "collect_stats"))
+def _render_path_fused(scene, key, *, width, height, spp, max_bounces, fov,
+                       camera_position, mirror_threshold, background,
+                       guide_fn, fb_prob, collect_stats):
+    k_jit, k_trace = jax.random.split(key)
+    origins, dirs = _camera_bundle(
+        k_jit, width=width, height=height, spp=spp, fov=fov,
+        camera_position=camera_position)
+    rgb, stats = trace_path(scene, origins, dirs, k_trace,
+                            max_bounces=max_bounces,
+                            mirror_threshold=mirror_threshold,
+                            background=background, guide_fn=guide_fn,
+                            fb_prob=fb_prob, collect_stats=collect_stats,
+                            impl="fused")
+    img = _assemble(rgb, spp=spp, height=height, width=width)
+    return img, stats
+
+
 def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
                 spp: int = 4, max_bounces: int = 3, fov: float = 60.0,
                 camera_position=(0.0, 2.0, 0.0),
@@ -57,13 +77,21 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
     """Render ``[H, W, 3]`` unit-range image + PathStats.
 
     ``impl`` selects the trace implementation (see ``trace_path``);
+    "fused" is one fully-fused XLA program (fastest steady-state),
     "stepwise" keeps TPU compile time flat in max_bounces and compiles the
     guide network separately from the tracer.
     """
+    cam = jnp.asarray(camera_position, jnp.float32)
+    if impl == "fused":
+        return _render_path_fused(
+            scene, key, width=width, height=height, spp=spp,
+            max_bounces=max_bounces, fov=fov, camera_position=cam,
+            mirror_threshold=mirror_threshold, background=background,
+            guide_fn=guide_fn, fb_prob=fb_prob, collect_stats=collect_stats)
     k_jit, k_trace = jax.random.split(key)
     origins, dirs = _camera_bundle(
         k_jit, width=width, height=height, spp=spp, fov=fov,
-        camera_position=jnp.asarray(camera_position, jnp.float32))
+        camera_position=cam)
     rgb, stats = trace_path(scene, origins, dirs, k_trace,
                             max_bounces=max_bounces,
                             mirror_threshold=mirror_threshold,

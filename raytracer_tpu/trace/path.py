@@ -316,6 +316,25 @@ def _fold_level(state, albedo, direct, bg, value):
     return value
 
 
+import weakref
+
+_GUIDE_JIT_CACHE: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
+_GUIDE_JIT_BY_ID: dict = {}
+
+
+def _jit_guide(guide_fn):
+    """jit the guide once per callable (compiles once, reused every level
+    and every frame) — calling a flax apply eagerly per level costs
+    hundreds of tiny dispatches."""
+    key = id(guide_fn)
+    hit = _GUIDE_JIT_BY_ID.get(key)
+    if hit is None or hit[0]() is not guide_fn:
+        jitted = jax.jit(guide_fn)
+        _GUIDE_JIT_BY_ID[key] = (weakref.ref(guide_fn), jitted)
+        return jitted
+    return hit[1]
+
+
 def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
                          max_bounces: int, mirror_threshold: float,
                          background, guide_fn, fb_prob: float,
@@ -327,38 +346,39 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
     o = origins
     running = jnp.ones((R,), bool)
     keys = jax.random.split(key, max_bounces)
+    guide = _jit_guide(guide_fn) if guide_fn is not None else None
 
+    # No host syncs inside the loop: all counters stay on device and the
+    # loop always runs max_bounces levels (inactive lanes are masked).
     recs = []
-    stats_sum = [0, 0, 0, 0]
-    fb_used = 0
+    stats_dev = []
+    fb_used_dev = []
     for k in range(max_bounces):
         (o, d, running, state, albedo, direct, obs, diffuse, fb_u,
          normal, stats) = _level_kernel(
             scene, o, d, running, keys[k], jnp.asarray(float(k), dtype),
             max_bounces=max_bounces, mirror_threshold=mirror_threshold)
-        if guide_fn is not None:
+        if guide is not None:
             use_fb = diffuse & (fb_u < fb_prob)
-            action = guide_fn(obs)
+            action = guide(obs)
             d = _apply_guide(action, normal, use_fb, d, diffuse)
-            fb_used += int(jnp.sum(use_fb))
+            fb_used_dev.append(jnp.sum(use_fb))
         recs.append((state, albedo, direct))
-        for i in range(4):
-            stats_sum[i] += int(stats[i])
-        if not bool(jnp.any(running)):
-            # Remaining levels would record only _INACTIVE states.
-            break
+        stats_dev.append(stats)
 
-    still = int(jnp.sum(running))
     value = jnp.broadcast_to(bg, (R, 3))
     for state, albedo, direct in reversed(recs):
         value = _fold_level(state, albedo, direct, bg, value)
 
+    sums = [sum(s[i] for s in stats_dev) for i in range(4)]
+    still = jnp.sum(running)
     zi = jnp.int32
     stats = PathStats(
-        total_rays=jnp.asarray(stats_sum[0] + still, zi),
-        total_intersections=jnp.asarray(stats_sum[1], zi),
-        light_hits=jnp.asarray(stats_sum[2], zi),
-        small_light_hits=jnp.asarray(stats_sum[3], zi),
-        fb_used=jnp.asarray(fb_used, zi),
+        total_rays=(sums[0] + still).astype(zi),
+        total_intersections=sums[1].astype(zi),
+        light_hits=sums[2].astype(zi),
+        small_light_hits=sums[3].astype(zi),
+        fb_used=(sum(fb_used_dev).astype(zi) if fb_used_dev
+                 else jnp.zeros((), zi)),
     )
     return value, stats
