@@ -137,18 +137,30 @@ class TrainedFBAgent:
         return a[0] if a.shape[0] == 1 else a
 
     def as_guide_fn(self):
-        """A pure jittable ``obs[R,22] -> action[R,2]`` for trace_path."""
-        params = self.params
-        proto = jnp.asarray(self.light_prototype)
+        """A ``obs[R,22] -> action[R,2]`` callable for trace_path.
+
+        The params are passed as jit *arguments*, not closed-over constants:
+        weights inlined as literals blow the program up to >10 MB of MLIR
+        and crash the TPU compiler's fusion cost model (observed SIGILL in
+        TpuPriorityFusionQueue::NormalizedComputationCost).
+        """
         enc, bwd = self.enc, self.bwd
 
-        def guide(obs):
+        @jax.jit
+        def _forward(params, proto, obs):
             out = enc.apply({"params": params["encoder"]}, obs)
             z, _ = jnp.split(out, 2, axis=-1)
             mean, _ = bwd.apply({"params": params["backward"]}, z,
                                 jnp.broadcast_to(proto, z.shape))
             return mean
 
+        params = self.params
+        proto = jnp.asarray(self.light_prototype)
+
+        def guide(obs):
+            return _forward(params, proto, obs)
+
+        guide._no_rejit = True        # consumed by trace_path's stepwise impl
         return guide
 
 

@@ -325,7 +325,14 @@ _GUIDE_JIT_BY_ID: dict = {}
 def _jit_guide(guide_fn):
     """jit the guide once per callable (compiles once, reused every level
     and every frame) — calling a flax apply eagerly per level costs
-    hundreds of tiny dispatches."""
+    hundreds of tiny dispatches.
+
+    Guides marked ``_no_rejit`` manage their own jit with params passed as
+    arguments (see fb.inference.as_guide_fn) — wrapping those again would
+    re-inline the weights as constants, which crashes the TPU compiler on
+    big networks."""
+    if getattr(guide_fn, "_no_rejit", False) or hasattr(guide_fn, "lower"):
+        return guide_fn
     key = id(guide_fn)
     hit = _GUIDE_JIT_BY_ID.get(key)
     if hit is None or hit[0]() is not guide_fn:

@@ -59,7 +59,8 @@ class TraceResult:
     through: jnp.ndarray   # [R] i32  — transparent objects passed through
 
 
-def _refract_walk(d, n_hit, p_hit, centre, radius, ior, dtype):
+def _refract_walk(d, n_hit, p_hit, centre, radius, ior, dtype,
+                  relevant=None):
     """``sphereExitRay`` (RL/ray.py:109-157) for a batch of lanes.
 
     Returns ``(ok, exit_point, exit_dir)``; ``ok`` False where the ray is
@@ -87,9 +88,23 @@ def _refract_walk(d, n_hit, p_hit, centre, radius, ior, dtype):
         e_normal = jnp.where(still[..., None], n_normal, e_normal)
         return exited_next, refr_d, e_point, e_normal, out_point, out_dir
 
-    init = (jnp.zeros(d.shape[:-1], bool), refr_d, e_point, e_normal,
-            jnp.zeros_like(d), jnp.zeros_like(d))
-    exited, *_, out_point, out_dir = jax.lax.fori_loop(0, 10, body, init)
+    init = (0, (jnp.zeros(d.shape[:-1], bool), refr_d, e_point, e_normal,
+                jnp.zeros_like(d), jnp.zeros_like(d)))
+
+    rel = (jnp.ones(d.shape[:-1], bool) if relevant is None else relevant)
+
+    def cond(state):
+        n, (exited, *_rest) = state
+        # TIR is rare: bail out as soon as every *glass* lane has exited
+        # (the reference's loop only spins for trapped lanes).
+        return (n < 10) & ~jnp.all(exited | ~rel)
+
+    def wbody(state):
+        n, carry = state
+        return n + 1, body(n, carry)
+
+    _, (exited, *_, out_point, out_dir) = jax.lax.while_loop(cond, wbody,
+                                                             init)
     ok = exited & (~tir_in)
     return ok, out_point, out_dir
 
