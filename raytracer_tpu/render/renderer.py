@@ -20,27 +20,36 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..scene.types import GlobalLights, PointLights, Scene
 from ..trace.shade import terminal_rgb
 from ..trace.whitted import trace_whitted
 
 
-@partial(jax.jit, static_argnames=("max_bounces", "height", "width", "mode"))
-def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
-                   origins: jnp.ndarray, dirs: jnp.ndarray,
-                   height: int, width: int, *, max_bounces: int = 5,
-                   background=(0.0, 0.0, 0.0),
-                   miss_colour: Optional[tuple] = None,
-                   mode: str = "unit") -> jnp.ndarray:
-    """Render an ``[H, W, 3]`` frame.  ``miss_colour`` defaults to
-    ``background`` (Planets notebooks use the background for misses;
-    Marbles 4 substitutes a sky colour)."""
+def material_flags(scene: Scene):
+    """Host-side static specialisation flags: does the scene contain any
+    exactly-1.0 transparent / reflective spheres (the only values the core
+    tracer's ``== True`` rule reacts to)?  Requires a concrete scene."""
+    import numpy as np
+    return (bool(np.any(np.asarray(scene.transparent) == 1.0)),
+            bool(np.any(np.asarray(scene.reflective) == 1.0)))
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "height", "width", "mode",
+                                   "enable_glass", "enable_mirror"))
+def _render_whitted(scene: Scene, glights: GlobalLights,
+                    plights: PointLights, origins: jnp.ndarray,
+                    dirs: jnp.ndarray, height: int, width: int, *,
+                    max_bounces: int, background, miss_colour, mode: str,
+                    enable_glass: bool, enable_mirror: bool) -> jnp.ndarray:
     dtype = origins.dtype
     background = jnp.asarray(background, dtype)
     miss = background if miss_colour is None else jnp.asarray(miss_colour, dtype)
 
-    res = trace_whitted(scene, origins, dirs, max_bounces=max_bounces)
+    res = trace_whitted(scene, origins, dirs, max_bounces=max_bounces,
+                        enable_glass=enable_glass,
+                        enable_mirror=enable_mirror)
     rgb = terminal_rgb(scene, glights, plights, res, background)
     rgb = jnp.where(res.hit[:, None], rgb, miss[None, :])
 
@@ -50,3 +59,30 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
     if mode == "raw":
         return img
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
+                   origins: jnp.ndarray, dirs: jnp.ndarray,
+                   height: int, width: int, *, max_bounces: int = 5,
+                   background=(0.0, 0.0, 0.0),
+                   miss_colour: Optional[tuple] = None,
+                   mode: str = "unit") -> jnp.ndarray:
+    """Render an ``[H, W, 3]`` frame.  ``miss_colour`` defaults to
+    ``background`` (Planets notebooks use the background for misses;
+    Marbles 4 substitutes a sky colour).
+
+    Statically specialises away the refract walk / mirror bounce when the
+    concrete scene has no exactly-1.0 transparent / reflective spheres.
+    """
+    try:
+        enable_glass, enable_mirror = material_flags(scene)
+    except Exception:       # traced scene (called under jit): keep both on
+        enable_glass = enable_mirror = True
+    return _render_whitted(scene, glights, plights, origins, dirs, height,
+                           width, max_bounces=max_bounces,
+                           background=tuple(np.asarray(background, float).tolist()),
+                           miss_colour=(None if miss_colour is None else
+                                        tuple(np.asarray(miss_colour,
+                                                         float).tolist())),
+                           mode=mode, enable_glass=enable_glass,
+                           enable_mirror=enable_mirror)

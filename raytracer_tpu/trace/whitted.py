@@ -109,18 +109,26 @@ def _refract_walk(d, n_hit, p_hit, centre, radius, ior, dtype,
     return ok, out_point, out_dir
 
 
-@partial(jax.jit, static_argnames=("max_bounces",))
+@partial(jax.jit, static_argnames=("max_bounces", "enable_glass",
+                                   "enable_mirror"))
 def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                   max_bounces: int = 1,
                   suppress_id: jnp.ndarray | None = None,
                   bounces0: jnp.ndarray | None = None,
-                  through0: jnp.ndarray | None = None) -> TraceResult:
+                  through0: jnp.ndarray | None = None,
+                  enable_glass: bool = True,
+                  enable_mirror: bool = True) -> TraceResult:
     """Trace a wavefront of rays to their Whitted termini.
 
     ``origins``/``dirs``: ``[R, 3]`` (dirs need not be normalised — the
     reference's ``Ray.__init__`` normalises, and so do we).  ``suppress_id``,
     ``bounces0``, ``through0`` let callers resume mid-chain exactly like the
     recursive signature (env stepping uses this).
+
+    ``enable_glass``/``enable_mirror``: static specialisation — pass False
+    (when the host knows the scene has no exactly-1.0 transparent/reflective
+    spheres, see ``material_flags``) to compile out the refract walk /
+    mirror bounce entirely.
     """
     dtype = origins.dtype
     R = origins.shape[0]
@@ -142,8 +150,10 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     fb_idx, fb_point, fb_normal = zi, zero3, zero3
     fb_t, fb_bounces, fb_through = zf, zi, zi
 
-    is_mirror = scene.reflective == 1.0      # the `== True` rule, RL/ray.py:180
-    is_glass = scene.transparent == 1.0      # RL/ray.py:204
+    zero_mask = jnp.zeros_like(scene.reflective, bool)
+    is_mirror = (scene.reflective == 1.0) if enable_mirror else zero_mask
+    is_glass = (scene.transparent == 1.0) if enable_glass else zero_mask
+    # (the `== True` rule, RL/ray.py:180,204)
 
     def level(_, carry):
         (o, d, suppress_id, bounces, through, status,
@@ -152,6 +162,7 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
          fb_through) = carry
 
         active = status == ACTIVE
+        zero_lanes = jnp.zeros_like(active)
         hit = nearest_hit(o, d, scene, suppress_id)
 
         over_budget = bounces > max_bounces
@@ -168,8 +179,9 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         status = jnp.where(fail, jnp.where(fb_valid, DONE_HIT, DONE_NONE), status)
 
         live = active & ~fail
-        mirror = live & is_mirror[hit.idx]
-        glass = live & ~mirror & is_glass[hit.idx]
+        mirror = (live & is_mirror[hit.idx]) if enable_mirror else zero_lanes
+        glass = ((live & ~mirror & is_glass[hit.idx]) if enable_glass
+                 else zero_lanes)
         terminal = live & ~mirror & ~glass
 
         # Terminal: record the intersection (bounces/through as of this level,
@@ -193,9 +205,14 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         refl_d = vec.reflect(d, hit.normal)
 
         # Glass: refraction walk through the sphere (RL/ray.py:204-229).
-        ok, exit_point, exit_dir = _refract_walk(
-            d, hit.normal, hit.point, scene.centre[hit.idx],
-            scene.radius[hit.idx], scene.ior[hit.idx], dtype)
+        if enable_glass:
+            ok, exit_point, exit_dir = _refract_walk(
+                d, hit.normal, hit.point, scene.centre[hit.idx],
+                scene.radius[hit.idx], scene.ior[hit.idx], dtype,
+                relevant=glass)
+        else:
+            ok = jnp.ones_like(glass)
+            exit_point, exit_dir = hit.point, d
         trapped = glass & ~ok
         # Trapped → None through this level → fallback (or background).
         use_fb2 = trapped & fb_valid
