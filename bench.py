@@ -53,6 +53,12 @@ def main():
     scene, gl, pl, p = library.chandelier_scene()
 
     # --- headline: traditional chandelier 200x100 @ 8spp, 8 bounces ------
+    # stepwise impl: bit-identical to fused, but compile time stays ~1 min
+    # through the slow remote-compile relay instead of 5-30 min (and the
+    # fused+guided variant has hit a TPU compiler SIGILL).  Steady-state
+    # cost of stepwise vs fused is a few ms/frame.
+    import os as _os
+    impl = _os.environ.get("BENCH_IMPL", "stepwise")
     W, H, SPP, MB = 200, 100, 8, 8
     key = jax.random.key(0)
 
@@ -60,7 +66,7 @@ def main():
         return render_path(scene, k, width=W, height=H, spp=SPP,
                            max_bounces=MB,
                            camera_position=p["camera_position"],
-                           mirror_threshold=0.0)
+                           mirror_threshold=0.0, impl=impl)
 
     t0 = time.time()
     img, stats = run_trad()

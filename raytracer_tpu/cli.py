@@ -141,6 +141,30 @@ def cmd_experiment(args):
     print(f"results → {out}")
 
 
+def cmd_demo(args):
+    """Scripted episode walk-through — the textual equivalent of the
+    reference's interactive demos (RL/train_raytracer.py:232-297,
+    RL/use_trained_model.py:240-337)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    env = _make_rl_env()
+    state, obs = env.reset(jax.random.key(args.seed), batch=1)
+    print(f"pixel={tuple(np.asarray(state.pixel[0]))} "
+          f"hit={bool(np.asarray(state.hit)[0])}")
+    rng = np.random.default_rng(args.seed)
+    for step in range(env.max_bounces + 1):
+        a = jnp.asarray([[rng.uniform(0, np.pi / 2),
+                          rng.uniform(0, 2 * np.pi)]], jnp.float32)
+        state, obs, r, term, info = env.step(state, a)
+        print(f"step {step}: action=({float(a[0,0]):.2f},{float(a[0,1]):.2f})"
+              f" reward={float(r[0]):+.3f} bounce={int(info['bounce'][0])}"
+              f" done={bool(term[0])}")
+        if bool(term[0]):
+            break
+    print(f"total reward: {float(np.asarray(state.total_reward)[0]):+.3f}")
+
+
 def cmd_rl_pipeline(args):
     """The full pipeline of RL/ray_tracer_rl_complete.py: train → evaluate →
     benchmark RL vs random."""
@@ -213,6 +237,10 @@ def main(argv=None):
     e.add_argument("--mode", default="balanced_mode",
                    choices=["fast_mode", "balanced_mode", "quality_mode"])
     e.set_defaults(fn=cmd_experiment)
+
+    dm = sub.add_parser("demo")
+    dm.add_argument("--seed", type=int, default=0)
+    dm.set_defaults(fn=cmd_demo)
 
     rp = sub.add_parser("rl-pipeline")
     rp.add_argument("--timesteps", type=int, default=20_000)
