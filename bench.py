@@ -78,6 +78,15 @@ def main():
     log(f"traditional: {dt*1e3:.1f} ms/frame, {total_rays:,} rays, "
         f"{trad_rps/1e6:.2f} Mrays/s  (baseline {BASELINE_TRAD_RAYS_PER_SEC:,.0f} rays/s)")
 
+    # Emit the headline JSON immediately — the extra sections below are
+    # informative and must not cost the record if anything hangs.
+    print(json.dumps({
+        "metric": "chandelier_traditional_rays_per_sec",
+        "value": round(trad_rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(trad_rps / BASELINE_TRAD_RAYS_PER_SEC, 1),
+    }), flush=True)
+
     # --- FB-guided chandelier, same config -------------------------------
     idx = small_light_indices(scene)
     agent = TrainedFBAgent(None, scene, idx, p["camera_position"])
@@ -122,14 +131,6 @@ def main():
             f"({800*600/wdt/1e6:.1f} Mrays/s primary)")
     except Exception as e:                                  # pragma: no cover
         log(f"whitted bench failed: {e!r}")
-
-    print(json.dumps({
-        "metric": "chandelier_traditional_rays_per_sec",
-        "value": round(trad_rps, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(trad_rps / BASELINE_TRAD_RAYS_PER_SEC, 1),
-    }))
-
 
 if __name__ == "__main__":
     main()

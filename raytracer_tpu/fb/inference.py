@@ -136,23 +136,32 @@ class TrainedFBAgent:
         a = np.clip(np.asarray(mean), -1.0, 1.0)
         return a[0] if a.shape[0] == 1 else a
 
-    def as_guide_fn(self):
+    def as_guide_fn(self, dtype=None):
         """A ``obs[R,22] -> action[R,2]`` callable for trace_path.
 
         The params are passed as jit *arguments*, not closed-over constants:
         weights inlined as literals blow the program up to >10 MB of MLIR
         and crash the TPU compiler's fusion cost model (observed SIGILL in
         TpuPriorityFusionQueue::NormalizedComputationCost).
+
+        ``dtype=jnp.bfloat16`` runs the policy matmuls on the MXU in bf16
+        (actions are a sampler steer, not geometry — precision headroom is
+        ample); default keeps f32.
         """
         enc, bwd = self.enc, self.bwd
 
         @jax.jit
         def _forward(params, proto, obs):
+            if dtype is not None:
+                params = jax.tree_util.tree_map(lambda x: x.astype(dtype),
+                                                params)
+                obs = obs.astype(dtype)
+                proto = proto.astype(dtype)
             out = enc.apply({"params": params["encoder"]}, obs)
             z, _ = jnp.split(out, 2, axis=-1)
             mean, _ = bwd.apply({"params": params["backward"]}, z,
                                 jnp.broadcast_to(proto, z.shape))
-            return mean
+            return mean.astype(jnp.float32)
 
         params = self.params
         proto = jnp.asarray(self.light_prototype)
