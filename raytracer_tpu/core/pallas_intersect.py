@@ -9,6 +9,13 @@ HBM, unlike the XLA broadcast formulation.
 Semantics identical to :func:`raytracer_tpu.core.intersect.nearest_hit`
 (tca/thc with the reference's guards, signed-t or |t| ordering, id
 suppression); equality-tested against it.
+
+Measured (1× v5e, 1.5M rays × 29 spheres): 14.0 ms vs 36.6 ms for the XLA
+formulation standalone (2.6×).  Inside the full Whitted loop the XLA path
+still wins (10.5 vs 14.9 ms per 800×600 frame) because the pallas_call
+boundary breaks fusion with the surrounding select/shade ops — so the
+kernel is an opt-in backend (``use_pallas=True``) for intersect-heavy
+workloads, not the default.
 """
 from __future__ import annotations
 
@@ -42,14 +49,15 @@ def _kernel(nspheres, by_abs, o_ref, d_ref, sup_ref, sph_ref, out_ref):
     dz = d_ref[2 * ROWS:3 * ROWS, :]
     sup = sup_ref[0:ROWS, :]
 
-    big = jnp.float32(3.4e38)
+    # NB: no boolean loop carries — Mosaic miscompiles i1 vectors carried
+    # through scf loops here; "found" is derived from best_metric < big.
+    big = jnp.float32(3.0e38)
     best_metric = jnp.full((ROWS, 128), big, jnp.float32)
     best_t = jnp.zeros((ROWS, 128), jnp.float32)
     best_idx = jnp.zeros((ROWS, 128), jnp.int32)
-    found = jnp.zeros((ROWS, 128), jnp.bool_)
 
     def body(n, carry):
-        best_metric, best_t, best_idx, found = carry
+        best_metric, best_t, best_idx = carry
         cx = sph_ref[n, 0]
         cy = sph_ref[n, 1]
         cz = sph_ref[n, 2]
@@ -66,19 +74,19 @@ def _kernel(nspheres, by_abs, o_ref, d_ref, sup_ref, sph_ref, out_ref):
         t = tca - thc
         valid = (tca >= 0.0) & (d2 <= r2) & (sid != sup)
         metric = jnp.abs(t) if by_abs else t
-        better = valid & (metric < best_metric)
+        metric = jnp.where(valid, metric, big)
+        better = metric < best_metric
         best_metric = jnp.where(better, metric, best_metric)
         best_t = jnp.where(better, t, best_t)
         best_idx = jnp.where(better, n, best_idx)
-        found = found | valid
-        return best_metric, best_t, best_idx, found
+        return best_metric, best_t, best_idx
 
-    best_metric, best_t, best_idx, found = jax.lax.fori_loop(
-        0, nspheres, body, (best_metric, best_t, best_idx, found))
+    best_metric, best_t, best_idx = jax.lax.fori_loop(
+        0, nspheres, body, (best_metric, best_t, best_idx))
 
     out_ref[0:ROWS, :] = best_t
     out_ref[ROWS:2 * ROWS, :] = pltpu.bitcast(best_idx, jnp.float32)
-    out_ref[2 * ROWS:3 * ROWS, :] = found.astype(jnp.float32)
+    out_ref[2 * ROWS:3 * ROWS, :] = (best_metric < big).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("by_abs",))

@@ -37,19 +37,21 @@ def material_flags(scene: Scene):
 
 
 @partial(jax.jit, static_argnames=("max_bounces", "height", "width", "mode",
-                                   "enable_glass", "enable_mirror"))
+                                   "enable_glass", "enable_mirror",
+                                   "use_pallas"))
 def _render_whitted(scene: Scene, glights: GlobalLights,
                     plights: PointLights, origins: jnp.ndarray,
                     dirs: jnp.ndarray, height: int, width: int, *,
                     max_bounces: int, background, miss_colour, mode: str,
-                    enable_glass: bool, enable_mirror: bool) -> jnp.ndarray:
+                    enable_glass: bool, enable_mirror: bool,
+                    use_pallas: bool) -> jnp.ndarray:
     dtype = origins.dtype
     background = jnp.asarray(background, dtype)
     miss = background if miss_colour is None else jnp.asarray(miss_colour, dtype)
 
     res = trace_whitted(scene, origins, dirs, max_bounces=max_bounces,
                         enable_glass=enable_glass,
-                        enable_mirror=enable_mirror)
+                        enable_mirror=enable_mirror, use_pallas=use_pallas)
     rgb = terminal_rgb(scene, glights, plights, res, background)
     rgb = jnp.where(res.hit[:, None], rgb, miss[None, :])
 
@@ -66,7 +68,7 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
                    height: int, width: int, *, max_bounces: int = 5,
                    background=(0.0, 0.0, 0.0),
                    miss_colour: Optional[tuple] = None,
-                   mode: str = "unit") -> jnp.ndarray:
+                   mode: str = "unit", use_pallas: bool = False) -> jnp.ndarray:
     """Render an ``[H, W, 3]`` frame.  ``miss_colour`` defaults to
     ``background`` (Planets notebooks use the background for misses;
     Marbles 4 substitutes a sky colour).
@@ -85,4 +87,5 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
                                         tuple(np.asarray(miss_colour,
                                                          float).tolist())),
                            mode=mode, enable_glass=enable_glass,
-                           enable_mirror=enable_mirror)
+                           enable_mirror=enable_mirror,
+                           use_pallas=use_pallas)

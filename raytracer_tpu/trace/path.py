@@ -106,13 +106,14 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     scales with ONE level instead of the whole unrolled pipeline, which
     matters on slow remote-compile TPU paths.
     """
-    if impl == "stepwise":
+    if impl in ("stepwise", "stepwise-pallas"):
         return _trace_path_stepwise(scene, origins, dirs, key,
                                     max_bounces=max_bounces,
                                     mirror_threshold=mirror_threshold,
                                     background=background, guide_fn=guide_fn,
                                     fb_prob=fb_prob,
-                                    collect_stats=collect_stats)
+                                    collect_stats=collect_stats,
+                                    use_pallas=(impl == "stepwise-pallas"))
     return _trace_path_fused(scene, origins, dirs, key,
                              max_bounces=max_bounces,
                              mirror_threshold=mirror_threshold,
@@ -247,9 +248,11 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
 # kernel per level plus the guide as its own program.
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold"))
+@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
+                                   "use_pallas"))
 def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
-                  max_bounces: int, mirror_threshold: float):
+                  max_bounces: int, mirror_threshold: float,
+                  use_pallas: bool = False):
     dtype = o.dtype
     R = o.shape[0]
     emissive_mask = scene.emitive > 0
@@ -257,7 +260,11 @@ def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
     is_mirror = scene.reflective > mirror_threshold
     no_sup = jnp.full((R,), NO_SUPPRESS, jnp.int32)
 
-    hit = nearest_hit(o, d, scene, no_sup, by_abs=True)
+    if use_pallas:
+        from ..core.pallas_intersect import nearest_hit_pallas
+        hit = nearest_hit_pallas(o, d, scene, no_sup, by_abs=True)
+    else:
+        hit = nearest_hit(o, d, scene, no_sup, by_abs=True)
     found = running & hit.found
     emis = found & emissive_mask[hit.idx]
     mirror = found & ~emis & is_mirror[hit.idx]
@@ -345,7 +352,7 @@ def _jit_guide(guide_fn):
 def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
                          max_bounces: int, mirror_threshold: float,
                          background, guide_fn, fb_prob: float,
-                         collect_stats: bool):
+                         collect_stats: bool, use_pallas: bool = False):
     dtype = origins.dtype
     R = origins.shape[0]
     bg = jnp.asarray(background, dtype)
@@ -364,7 +371,8 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
         (o, d, running, state, albedo, direct, obs, diffuse, fb_u,
          normal, stats) = _level_kernel(
             scene, o, d, running, keys[k], jnp.asarray(float(k), dtype),
-            max_bounces=max_bounces, mirror_threshold=mirror_threshold)
+            max_bounces=max_bounces, mirror_threshold=mirror_threshold,
+            use_pallas=use_pallas)
         if guide is not None:
             use_fb = diffuse & (fb_u < fb_prob)
             action = guide(obs)

@@ -110,14 +110,15 @@ def _refract_walk(d, n_hit, p_hit, centre, radius, ior, dtype,
 
 
 @partial(jax.jit, static_argnames=("max_bounces", "enable_glass",
-                                   "enable_mirror"))
+                                   "enable_mirror", "use_pallas"))
 def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                   max_bounces: int = 1,
                   suppress_id: jnp.ndarray | None = None,
                   bounces0: jnp.ndarray | None = None,
                   through0: jnp.ndarray | None = None,
                   enable_glass: bool = True,
-                  enable_mirror: bool = True) -> TraceResult:
+                  enable_mirror: bool = True,
+                  use_pallas: bool = False) -> TraceResult:
     """Trace a wavefront of rays to their Whitted termini.
 
     ``origins``/``dirs``: ``[R, 3]`` (dirs need not be normalised — the
@@ -163,7 +164,11 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
 
         active = status == ACTIVE
         zero_lanes = jnp.zeros_like(active)
-        hit = nearest_hit(o, d, scene, suppress_id)
+        if use_pallas:
+            from ..core.pallas_intersect import nearest_hit_pallas
+            hit = nearest_hit_pallas(o, d, scene, suppress_id)
+        else:
+            hit = nearest_hit(o, d, scene, suppress_id)
 
         over_budget = bounces > max_bounces
         # Chain fails here: no hit, or budget exceeded (RL/ray.py:170-174).
