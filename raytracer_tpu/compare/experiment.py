@@ -49,7 +49,6 @@ class CustomSceneExperiment:
 
     # -- cameras -----------------------------------------------------------
     def _grid(self, dtype=None):
-        import jax.numpy as jnp
         return grid_rays(100, 0.01, self.config["multiple"],
                          origin=(0, 0, 1))
 

@@ -87,7 +87,6 @@ def render_guided(scene: Scene, policy: Optional[Callable], key, *,
     ``policy(obs[R,18]) -> action[R,2]`` in the env action convention.
     """
     from ..render.camera import perspective_rays
-    from ..trace.path import PathStats  # noqa: F401 (doc parity)
 
     total = None
     for s in range(spp):

@@ -19,7 +19,6 @@ Capabilities mirrored:
 from __future__ import annotations
 
 import time
-from functools import partial
 from pathlib import Path
 from typing import Optional
 

@@ -20,7 +20,7 @@ except ImportError:                                     # pragma: no cover
     _GYM = False
     gym = object
 
-from .raytracer_env import OBS_DIM, RayTracerEnv
+from .raytracer_env import OBS_DIM, RayTracerEnv  # noqa: F401 (OBS_DIM re-exported)
 
 
 class GymRayTracerEnv(gym.Env if _GYM else object):

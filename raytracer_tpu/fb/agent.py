@@ -31,7 +31,6 @@ and feeds device batches (the TPU analog of the reference's
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax

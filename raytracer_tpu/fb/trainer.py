@@ -66,13 +66,20 @@ class MultiSceneFBTrainer:
         return scene, name, stype
 
     # -- experience --------------------------------------------------------
+    # Start-point policy for experience generation: "small" weights start
+    # spheres by 1/(1+r) so walkers begin on scene-core objects; "uniform"
+    # reproduces the reference walk exactly (which yields ~0 hits on
+    # wall-heavy scenes — see fb/trajectory.py).
+    START_BIAS = "small"
+
     def train_on_scene(self, scene: Scene, name: str,
                        episodes: int) -> float:
         """Generate ``episodes`` random-walk trajectories on device, feed
         the agent, return the episode light-hit rate."""
         self._key, k = jax.random.split(self._key)
         batch = generate_trajectories(scene, k, num_walkers=episodes,
-                                      max_steps=self.config.max_bounces)
+                                      max_steps=self.config.max_bounces,
+                                      start_bias=self.START_BIAS)
         valid = np.asarray(batch.valid).reshape(-1)
         if valid.any():
             flat = lambda a: np.asarray(a).reshape((-1,) + a.shape[2:])[valid]

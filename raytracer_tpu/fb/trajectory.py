@@ -41,19 +41,35 @@ class TrajectoryBatch(NamedTuple):
     episode_hit: jnp.ndarray  # [W] bool — did the walker ever reach a light
 
 
-@partial(jax.jit, static_argnames=("num_walkers", "max_steps"))
+@partial(jax.jit, static_argnames=("num_walkers", "max_steps", "start_bias"))
 def generate_trajectories(scene: Scene, key: jax.Array, *,
                           num_walkers: int = 256,
-                          max_steps: int = 8) -> TrajectoryBatch:
+                          max_steps: int = 8,
+                          start_bias: str = "uniform") -> TrajectoryBatch:
+    """``start_bias``:
+
+    * ``"uniform"`` — the reference's ``random.choice(non_light)``
+      (FB/train_complex_only.py:268).  NB: on wall-heavy scenes this puts
+      most walkers on the far side of radius-100 spheres and the measured
+      episode hit rate is ≈0 — we verified the *reference's own* walk code
+      scores 0/200 on the chandelier scene, so the training report's
+      18-48%% "hit rates" must come from the missing trainer's simplified
+      (non-ray-traced) experience, not this walk.
+    * ``"small"`` — weight start spheres by 1/(1+r): walkers start on the
+      scene-core objects, making real ray-traced training productive.
+    """
     W = num_walkers
     dtype = scene.centre.dtype
     emissive = scene.emitive > 0
 
     k_start, k_point, k_dir, k_walk = jax.random.split(key, 4)
 
-    # Random non-light start sphere (uniform over non-light spheres;
-    # radius<=0 excludes pad_scene dummies).
-    logits = jnp.where(emissive | (scene.radius <= 0), -jnp.inf, 0.0)
+    # Random non-light start sphere (radius<=0 excludes pad_scene dummies).
+    if start_bias == "small":
+        logits = jnp.where(emissive | (scene.radius <= 0), -jnp.inf,
+                           -jnp.log1p(scene.radius))
+    else:
+        logits = jnp.where(emissive | (scene.radius <= 0), -jnp.inf, 0.0)
     idx0 = jax.random.categorical(k_start, logits, shape=(W,))
     point0, normal0 = sampling.uniform_on_sphere(
         k_point, scene.centre[idx0], scene.radius[idx0])

@@ -19,12 +19,9 @@ Sources:
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import numpy as np
 
-from .types import (GlobalLights, PointLights, Scene, SceneBuilder,
-                    empty_global_lights, empty_point_lights)
+from .types import SceneBuilder
 
 DEG90 = float(np.radians(90))
 
