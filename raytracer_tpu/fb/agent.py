@@ -245,8 +245,13 @@ class FBResearchAgent:
             for row in z:
                 self.light_memory.append(row)
             self.light_memory = self.light_memory[-20:]
-        if (self.records // self.config.update_freq
-                > (self.records - n) // self.config.update_freq):
+        # One gradient step per update_freq records ingested — a batched
+        # add of N transitions runs N/update_freq steps (capped) so bulk
+        # wavefront experience trains as much as the reference's
+        # one-at-a-time ingest would have.
+        crossings = (self.records // self.config.update_freq
+                     - (self.records - n) // self.config.update_freq)
+        for _ in range(min(int(crossings), 64)):
             self.train_step()
 
     def train_step(self) -> Optional[float]:
