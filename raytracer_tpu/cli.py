@@ -88,6 +88,26 @@ def cmd_train_sac(args):
     print(json.dumps(out))
     tr.save(args.out)
     print(f"saved → {args.out}")
+    if getattr(args, "analyze", False):
+        _post_training_analysis(env, tr, "sac_analysis")
+
+
+def _post_training_analysis(env, trainer, prefix):
+    """Behavior analytics + 6-panel figure + CSV, the train_raytracer_improved
+    post-training flow (RL/train_raytracer_improved.py:349-507)."""
+    import numpy as np
+    from .agents.analytics import (advanced_analysis_png,
+                                   analyze_agent_behavior)
+    from .utils.metrics import write_csv
+    policy = lambda obs: trainer.predict(obs, deterministic=True)
+    behavior = analyze_agent_behavior(env, policy, episodes=200)
+    print(json.dumps(behavior, indent=2, default=str))
+    advanced_analysis_png(behavior, trainer.episode_rewards,
+                          f"{prefix}.png")
+    write_csv(f"{prefix}.csv",
+              [{"metric": k, "value": json.dumps(v, default=str)}
+               for k, v in behavior.items()])
+    print(f"analysis → {prefix}.png / {prefix}.csv")
 
 
 def cmd_train_q(args):
@@ -208,6 +228,7 @@ def main(argv=None):
         t.add_argument("--lr", type=float, default=3e-4)
         t.add_argument("--seed", type=int, default=0)
         t.add_argument("--out", default=f"{name.replace('-', '_')}_model.pkl")
+        t.add_argument("--analyze", action="store_true")
         t.set_defaults(fn=fn)
 
     q = sub.add_parser("train-q")

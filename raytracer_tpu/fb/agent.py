@@ -71,8 +71,18 @@ class ReplayBuffer:
         self.pos = int((self.pos + n) % self.capacity)
         self.size = int(min(self.size + n, self.capacity))
 
-    def sample(self, rng: np.random.Generator, batch: int):
+    def sample(self, rng: np.random.Generator, batch: int,
+               hit_fraction: float = 0.25):
+        """Uniform sample with a guaranteed quota of light-hit transitions
+        (they are ~1% of real ray-traced experience; without the quota a
+        256-batch sees ~2 of them and the light-conditioned backward model
+        never gets signal)."""
         idx = rng.integers(0, self.size, batch)
+        if hit_fraction > 0:
+            hits = np.nonzero(self.hit_light[:self.size] > 0)[0]
+            if hits.size:
+                k = max(1, int(batch * hit_fraction))
+                idx[:k] = rng.choice(hits, k)
         return (self.obs[idx], self.action[idx], self.next_obs[idx],
                 self.reward[idx], self.hit_light[idx])
 
@@ -139,10 +149,17 @@ class FBResearchAgent:
                 _encode_mean(enc, target_enc, next_obs))
 
             # fb: backward must recover the action linking z → z_next.
+            # Success-weighted: transitions that actually reached a light
+            # count 10x, so conditioning on the light-prototype latent at
+            # inference reproduces light-REACHING actions rather than the
+            # average connecting action (the failure mode the reference
+            # itself recorded as "trained FB hurt", trained_fb_summary).
             a_mean, a_logvar = bwd.apply({"params": pb}, z, z_next)
             a_logvar = jnp.clip(a_logvar, -8.0, 4.0)
-            fb = jnp.mean(0.5 * ((action - a_mean) ** 2
-                                 * jnp.exp(-a_logvar) + a_logvar))
+            w = 1.0 + 9.0 * hit
+            nll = jnp.sum(0.5 * ((action - a_mean) ** 2
+                                 * jnp.exp(-a_logvar) + a_logvar), axis=-1)
+            fb = jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1.0)
 
             preds = fwd.apply({"params": pf}, z, action)
             means = jnp.stack([m for m, _ in preds])            # [H, B, Z]
