@@ -68,6 +68,11 @@ def load_fb(path, config) -> Tuple[object, dict, dict]:
     for name in ("encoder", "forward", "backward", "target_encoder"):
         flat = {k[len(name) + 2:]: data[k] for k in data.files
                 if k.startswith(name + "::")}
+        if not flat:
+            # Slim inference-only checkpoints carry encoder+backward only;
+            # missing parts keep their fresh initialisation.
+            parts[name] = getattr(tmp.params, name)
+            continue
         parts[name] = _unflatten_like(getattr(tmp.params, name), flat)
     params = FBParams(**parts)
     lm = [row for row in data["__light_memory__"]]
