@@ -124,3 +124,48 @@ def test_gym_adapter_api():
         if term or trunc:
             break
     assert isinstance(total, float)
+
+
+def test_fb_trajectory_parity_vs_reference():
+    """FB-variant scripted step vs the executed reference FB env
+    (fixture env_trajectory_fb.json: first action escapes → reward −0.1,
+    terminated, obs zeroed)."""
+    fix = json.loads((GOLDEN / "env_trajectory_fb.json").read_text())
+    scene, gl, pl, p = library.custom_scene()
+    env = RayTracerEnv(scene, image_width=fix["width"],
+                       image_height=fix["height"], camera_position=(0, 0, 1),
+                       fov=fix["fov"], max_bounces=fix["max_bounces"],
+                       background=(2, 2, 5), variant="fb", sun_id=7)
+    state, obs = env.reset(jax.random.key(0), batch=1,
+                           pixel=jnp.array(fix["pixel"]))
+    np.testing.assert_allclose(np.asarray(obs[0]), fix["obs"][0], atol=2e-4)
+    for i, action in enumerate(fix["actions"]):
+        state, obs, r, term, info = env.step(
+            state, jnp.asarray([action], jnp.float32))
+        np.testing.assert_allclose(float(r[0]), fix["rewards"][i], atol=2e-4)
+        np.testing.assert_allclose(np.asarray(obs[0]), fix["obs"][i + 1],
+                                   atol=2e-3)
+        assert bool(term[0]) == fix["terminated"][i]
+        if fix["terminated"][i]:
+            break
+
+
+def test_fb_sun_hit_pays_ten():
+    """Analytically aim the first bounce at the sun: +10 and termination."""
+    from raytracer_tpu.trace import sampling
+    scene, gl, pl, p = library.custom_scene()
+    env = RayTracerEnv(scene, image_width=100, image_height=100,
+                       camera_position=(0, 0, 1), fov=60, max_bounces=8,
+                       background=(2, 2, 5), variant="fb", sun_id=7)
+    state, obs = env.reset(jax.random.key(0), batch=1,
+                           pixel=jnp.array([50, 40]))
+    assert bool(state.hit[0])
+    sun_centre = jnp.asarray([-0.6, 0.2, 6.0])
+    to_sun = sun_centre[None, :] - state.point
+    action = sampling.direction_to_action(
+        to_sun / jnp.linalg.norm(to_sun), state.normal, "env")
+    state, obs, r, term, info = env.step(state, action.astype(jnp.float32))
+    # The hemisphere clamp may graze; accept either the sun (+10) or a
+    # legal lighting reward, but on a direct line of sight expect the sun.
+    assert float(r[0]) == 10.0, float(r[0])
+    assert bool(term[0])
