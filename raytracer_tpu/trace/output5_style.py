@@ -13,16 +13,20 @@ the method's policy:
 * ``rl`` — ``_trace_custom_rl`` (:830-918): sun-biased sampling
   (θ~U[0,π/4], φ~U[π/2,3π/2], env tangent frame); lights accumulate and the
   walk continues; final floor: +30 per channel if brightness < 30.
-* ``fb`` — ``_trace_custom_fb`` (:979-1165): the EnhancedFBAgent heuristic
-  strategy mix (exploration vs sun-seeking, exploration_rate 0.3) with an
-  ambient (40, 40, 100) base and brightness floor 50.  The reference's
-  sequential per-ray memory updates don't vectorise; the wavefront version
-  freezes the strategy mix at the agent's current exploration rate — noted
-  redesign, same sampling distributions.
+* ``fb`` — ``_trace_custom_fb`` (:979-1165): per-bounce lighting is
+  ambient ``trunc(albedo*0.2) + (40, 40, 100)`` plus sun diffuse
+  ``trunc(albedo*cos*0.8)`` gated by a shadow sweep that skips emissive
+  blockers; emissive hits add the light colour and the walk CONTINUES;
+  directions come from the EnhancedFBAgent strategy mix (exploration vs
+  sun-seeking, exploration_rate 0.3, env tangent frame); final additive
+  brightness boost to 50.  The reference's sequential per-ray memory
+  updates don't vectorise; the wavefront version freezes the strategy mix
+  at the agent's current exploration rate — noted redesign, same sampling
+  distributions.
 
-All methods share the same "original-like" per-bounce shading constants:
-global light (20, 20, 255) from direction (3, 1, −0.75) at strength 0.3,
-sun (255, 255, 204) at (−0.6, 0.2, 6) with attenuation min(1, 100/d²) and
+The traditional method's per-bounce shading constants: global light
+(20, 20, 255) from direction (3, 1, −0.75) at strength 0.3, sun
+(255, 255, 204) at (−0.6, 0.2, 6) with attenuation min(1, 100/d²) and
 strength 0.9, int-truncation at each contribution.
 """
 from __future__ import annotations
@@ -41,6 +45,41 @@ SUN_POS = (-0.6, 0.2, 6.0)
 SUN_COLOUR = (255.0, 255.0, 204.0)
 GLOBAL_DIR = (3.0, 1.0, -0.75)
 GLOBAL_COLOUR = (20.0, 20.0, 255.0)
+
+
+def _sun_visible(scene: Scene, hit, dtype, skip_emissive: bool):
+    """Single shadow sweep toward the hardcoded sun; ``skip_emissive``
+    matches the fb tracer's blocker filter (:1060-1062)."""
+    from ..core.intersect import sphere_ts
+    sun = jnp.asarray(SUN_POS, dtype)
+    to_sun = sun[None] - hit.point
+    sun_dist = vec.magnitude(to_sun)
+    to_sun_n = vec.normalise_safe(to_sun)
+    o = hit.point + hit.normal * 0.001
+    t, valid = sphere_ts(o[:, None, :], to_sun_n[:, None, :],
+                         scene.centre, scene.radius, point=0)
+    excl = (jnp.arange(scene.num_spheres)[None, :] == hit.idx[:, None])
+    if skip_emissive:
+        excl = excl | (scene.emitive > 0)[None, :]
+    valid = valid & ~excl
+    sp = o[:, None, :] + to_sun_n[:, None, :] * t[..., None]
+    sdist = vec.magnitude(sp - hit.point[:, None, :])
+    blocked = jnp.any(valid & (sdist < sun_dist[:, None]), axis=-1)
+    cos = jnp.maximum(vec.dot(hit.normal, to_sun_n), 0.0)
+    return ~blocked, cos
+
+
+def _shade_level_fb(scene: Scene, hit, dtype):
+    """The fb method's per-bounce lighting (:1070-1105): albedo ambient
+    + global ambient (40,40,100), sun diffuse 0.8 gated by the
+    emissive-skipping shadow sweep."""
+    albedo = scene.colour[hit.idx].astype(dtype)
+    visible, cos = _sun_visible(scene, hit, dtype, skip_emissive=True)
+    ambient = jnp.minimum(255.0, jnp.trunc(albedo * 0.2)
+                          + jnp.asarray((40.0, 40.0, 100.0), dtype)[None])
+    diffuse = jnp.where(visible[:, None],
+                        jnp.trunc(albedo * (cos * 0.8)[:, None]), 0.0)
+    return jnp.minimum(255.0, ambient + diffuse)
 
 
 def _shade_level(scene: Scene, hit, dtype):
@@ -118,11 +157,12 @@ def trace_output5(scene: Scene, origins, dirs, key, *, max_bounces: int = 5,
             acc = jnp.where(running[:, None],
                             jnp.minimum(255.0, acc + shade), acc)
         else:
-            # RL/FB: light colour accumulates, walk continues (:869-880).
+            # RL/FB: light colour accumulates, walk continues (:869-880,
+            # :1033-1044).
             lc = scene.colour[hit.idx].astype(dtype)
             acc = jnp.where(emis[:, None], jnp.minimum(255.0, acc + lc), acc)
             if method == "fb":
-                shade = _shade_level(scene, hit, dtype)
+                shade = _shade_level_fb(scene, hit, dtype)
                 acc = jnp.where((running & ~emis)[:, None],
                                 jnp.minimum(255.0, acc + shade), acc)
 
@@ -182,13 +222,14 @@ def trace_output5(scene: Scene, origins, dirs, key, *, max_bounces: int = 5,
         bright = jnp.mean(final, axis=-1)
         rgb = jnp.where((bright < 30.0)[:, None],
                         jnp.minimum(255.0, final + 30.0), final)
-    else:  # fb
-        ambient = jnp.asarray((40.0, 40.0, 100.0), dtype)
-        final = jnp.minimum(255.0, acc + ambient[None])
-        bright = jnp.mean(final, axis=-1)
-        scale = 50.0 / jnp.maximum(1.0, bright)
-        boosted = jnp.minimum(255.0, jnp.trunc(final * scale[:, None]))
-        rgb = jnp.where((bright < 50.0)[:, None], boosted, final)
+    else:  # fb — additive boost to brightness 50 (:1146-1159)
+        dark = jnp.all(acc == 0.0, axis=-1)
+        bright = jnp.mean(acc, axis=-1)
+        boost = jnp.maximum(50.0 - bright, 0.0)
+        boosted = jnp.minimum(255.0, acc + boost[:, None])
+        final = jnp.where((bright < 50.0)[:, None], boosted,
+                          jnp.minimum(255.0, acc))
+        rgb = jnp.where(dark[:, None], bg[None], final)
 
     light_hits = jnp.sum(stats_seq[0])
     steps = jnp.sum(stats_seq[1])
