@@ -31,15 +31,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_steady(fn, *, warmup=1, iters=3):
+def time_steady(fn, *, warmup=1, iters=5):
+    """Best-of-N steady-state timing: the tunneled TPU shows up to 3x
+    run-to-run variance from relay/host contention, so the minimum is the
+    honest hardware number."""
     for _ in range(warmup):
         jax.block_until_ready(fn())
-    t0 = time.time()
+    best = float("inf")
     out = None
     for _ in range(iters):
+        t0 = time.time()
         out = fn()
         jax.block_until_ready(out)
-    return (time.time() - t0) / iters, out
+        best = min(best, time.time() - t0)
+    return best, out
 
 
 def main():
