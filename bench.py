@@ -77,7 +77,7 @@ def main():
     img, stats = run_trad()
     jax.block_until_ready(img)
     log(f"traditional compile+run: {time.time() - t0:.1f}s")
-    dt, (img, stats) = time_steady(run_trad)
+    dt, (img, stats) = time_steady(run_trad, iters=10)
     total_rays = int(stats.total_rays)
     trad_rps = total_rays / dt
     log(f"traditional: {dt*1e3:.1f} ms/frame, {total_rays:,} rays, "
