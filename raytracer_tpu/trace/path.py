@@ -249,10 +249,10 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
-                                   "use_pallas"))
+                                   "use_pallas", "want_obs"))
 def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
                   max_bounces: int, mirror_threshold: float,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, want_obs: bool = True):
     dtype = o.dtype
     R = o.shape[0]
     emissive_mask = scene.emitive > 0
@@ -286,10 +286,13 @@ def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
     diff_d = sampling.cosine_weighted(k_diff, hit.normal, "renderer")
     fb_u = jax.random.uniform(k_fb, (R,), dtype)
 
-    obs = make_observation(hit.point, hit.normal, d,
-                          jnp.full((R,), lvl, dtype),
-                          jnp.zeros((R, 3), dtype), scene, hit.idx,
-                          max_bounces)
+    if want_obs:
+        obs = make_observation(hit.point, hit.normal, d,
+                              jnp.full((R,), lvl, dtype),
+                              jnp.zeros((R, 3), dtype), scene, hit.idx,
+                              max_bounces)
+    else:
+        obs = jnp.zeros((R, 0), dtype)      # no guide → skip the 22-wide build
 
     new_d = jnp.where(mirror[:, None], refl_d, diff_d)
     new_o = hit.point + hit.normal * 0.001
@@ -372,7 +375,7 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
          normal, stats) = _level_kernel(
             scene, o, d, running, keys[k], jnp.asarray(float(k), dtype),
             max_bounces=max_bounces, mirror_threshold=mirror_threshold,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, want_obs=guide is not None)
         if guide is not None:
             use_fb = diffuse & (fb_u < fb_prob)
             action = guide(obs)
