@@ -60,7 +60,6 @@ class AdaptiveRewardRayTracerEnv:
 
         nstate, obs, base_reward, terminated, info = self.env.step(s, action)
 
-        on_light = pre_hit
         lid = sc.id[pre_idx]
         is_light = jnp.zeros_like(pre_hit)
         for l in self.light_ids:

@@ -215,7 +215,9 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("render")
-    r.add_argument("--scene", default="true_original")
+    r.add_argument("--scene", default="true_original",
+                   choices=["true_original", "planets2", "marbles4",
+                            "chandelier", "custom"])
     r.add_argument("--out", default="render_output.png")
     r.add_argument("--width", type=int, default=800)
     r.add_argument("--height", type=int, default=600)
