@@ -76,6 +76,43 @@ class CustomSceneExperiment:
         img = np.minimum(1.0, np.asarray(rgb).reshape(h, w, 3) / 255.0)
         return img, dt, {k: float(v) for k, v in stats.items()}
 
+    def render_custom_scene(self, method: str, *, width: int = 200,
+                            height: int = 200, spp: int = 4, seed: int = 0):
+        """The spp-jittered variant (RL/output5.py:1420-1525): linspace
+        camera scaled from the 601-wide original, per-sample jitter of one
+        grid cell, integer-averaged samples, min(1, c/255) output."""
+        import jax.numpy as jnp
+        scale_factor = min(width, height) / 601
+        ray_count = int(100 * scale_factor)
+        ray_step = 0.01
+        xs = np.linspace(-ray_count * ray_step, ray_count * ray_step, width)
+        ys = np.linspace(ray_count * ray_step, -ray_count * ray_step, height)
+        dx = xs[1] - xs[0] if width > 1 else 0.0
+        dy = ys[0] - ys[1] if height > 1 else 0.0
+        X, Y = np.meshgrid(xs, ys)
+        scene, gl, pl, p = library.custom_scene()
+        key = jax.random.key(seed)
+        total = np.zeros((height * width, 3), np.float64)
+        for s_i in range(spp):
+            key, kj, kt = jax.random.split(key, 3)
+            if spp > 1:
+                jit = jax.random.uniform(kj, (height, width, 2)) - 0.5
+                Xj = X + np.asarray(jit[..., 0]) * dx
+                Yj = Y + np.asarray(jit[..., 1]) * dy
+            else:
+                Xj, Yj = X, Y
+            dirs = jnp.asarray(np.stack([Xj, Yj, -np.ones_like(Xj)], -1)
+                               .reshape(-1, 3), jnp.float32)
+            origins = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0],
+                                                   jnp.float32), dirs.shape)
+            rgb, _ = trace_output5(scene, origins, dirs, kt,
+                                   max_bounces=self.config["max_bounces"],
+                                   method=method)
+            total += np.asarray(rgb, np.float64)
+        avg = np.trunc(total / spp)
+        img = np.minimum(1.0, avg / 255.0).reshape(height, width, 3)
+        return img
+
     def render_unified_comparison(self, save: bool = True):
         """All four methods over the identical camera grid (:1251-1418)."""
         images = {}
@@ -150,8 +187,48 @@ class CustomSceneExperiment:
                 f.write("\n\n")
         return out
 
+    def create_custom_scene_visualization(self, images=None):
+        """Analysis figure (RL/output5.py:1688-1861): 3-D scene layout,
+        method renders, per-method trial metrics."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        scene, gl, pl, p = library.custom_scene()
+        fig = plt.figure(figsize=(16, 10))
+        ax = fig.add_subplot(2, 3, 1, projection="3d")
+        c = np.asarray(scene.centre); r = np.asarray(scene.radius)
+        col = np.clip(np.asarray(scene.colour) / 255.0, 0, 1)
+        emis = np.asarray(scene.emitive) > 0
+        keep = r < 20
+        ax.scatter(c[keep, 0], c[keep, 2], c[keep, 1],
+                   s=np.clip(r[keep] * 400, 20, 600), c=col[keep],
+                   edgecolors=np.where(emis[keep], "gold", "none"))
+        ax.set_title("scene layout")
+        slot = 2
+        for name, img in (images or {}).items():
+            if slot > 4:
+                break
+            a2 = fig.add_subplot(2, 3, slot)
+            a2.imshow(np.clip(img, 0, 1)); a2.set_title(name); a2.axis("off")
+            slot += 1
+        trials = self.results.get("trials", {})
+        if trials:
+            a5 = fig.add_subplot(2, 3, 5)
+            names = list(trials)
+            a5.bar(names, [trials[n]["avg_reward"] for n in names])
+            a5.set_title("avg reward / ray")
+            a6 = fig.add_subplot(2, 3, 6)
+            a6.bar(names, [trials[n]["avg_light_hits"] for n in names])
+            a6.set_title("avg light hits / ray")
+        plt.tight_layout()
+        out = self.output_dir / "custom_scene_analysis.png"
+        plt.savefig(out, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return out
+
     def run_custom_scene_experiment(self):
         """End-to-end flow (:1527-1622)."""
-        self.render_unified_comparison()
+        images, _, _ = self.render_unified_comparison()
         self.run_performance_trials()
+        self.create_custom_scene_visualization(images)
         return self.save_custom_results()

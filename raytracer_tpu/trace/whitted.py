@@ -210,11 +210,20 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         refl_d = vec.reflect(d, hit.normal)
 
         # Glass: refraction walk through the sphere (RL/ray.py:204-229).
+        # Gated on a scalar any-glass predicate: levels where no lane is
+        # refracting (most levels in mixed scenes) skip the walk entirely.
         if enable_glass:
-            ok, exit_point, exit_dir = _refract_walk(
-                d, hit.normal, hit.point, scene.centre[hit.idx],
-                scene.radius[hit.idx], scene.ior[hit.idx], dtype,
-                relevant=glass)
+            def do_walk(_):
+                return _refract_walk(
+                    d, hit.normal, hit.point, scene.centre[hit.idx],
+                    scene.radius[hit.idx], scene.ior[hit.idx], dtype,
+                    relevant=glass)
+
+            def no_walk(_):
+                return jnp.ones_like(glass), hit.point, d
+
+            ok, exit_point, exit_dir = jax.lax.cond(
+                jnp.any(glass), do_walk, no_walk, operand=None)
         else:
             ok = jnp.ones_like(glass)
             exit_point, exit_dir = hit.point, d
