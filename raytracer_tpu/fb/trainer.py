@@ -72,6 +72,12 @@ class MultiSceneFBTrainer:
     # wall-heavy scenes — see fb/trajectory.py).
     START_BIAS = "small"
 
+    # Hindsight relabelling: every step of a light-reaching episode is
+    # re-recorded with the terminal light observation as its backward
+    # target — the sparse terminal success supervises the whole path, which
+    # is what makes the light-prototype conditioning actionable.
+    HINDSIGHT = True
+
     def train_on_scene(self, scene: Scene, name: str,
                        episodes: int) -> float:
         """Generate ``episodes`` random-walk trajectories on device, feed
@@ -87,7 +93,30 @@ class MultiSceneFBTrainer:
                                       flat(batch.next_obs),
                                       flat(batch.reward),
                                       flat(batch.hit_light))
+        if self.HINDSIGHT:
+            self._record_hindsight(batch)
         return float(np.asarray(batch.episode_hit).mean())
+
+    def _record_hindsight(self, batch) -> int:
+        hit_steps = np.asarray(batch.hit_light)          # [T, W]
+        valid = np.asarray(batch.valid)
+        obs = np.asarray(batch.obs)
+        action = np.asarray(batch.action)
+        next_obs = np.asarray(batch.next_obs)
+        n = 0
+        for w in np.nonzero(hit_steps.any(axis=0))[0]:
+            t_hit = int(np.nonzero(hit_steps[:, w])[0][0])
+            terminal = next_obs[t_hit, w]
+            steps = [t for t in range(t_hit) if valid[t, w]]
+            if not steps:
+                continue
+            self.agent.record_success(
+                obs[steps, w], action[steps, w],
+                np.broadcast_to(terminal, (len(steps),) + terminal.shape),
+                np.ones(len(steps), np.float32),
+                np.ones(len(steps), np.float32))
+            n += len(steps)
+        return n
 
     # -- main loop ---------------------------------------------------------
     def run_training(self, num_scenes: Optional[int] = None,
