@@ -78,6 +78,8 @@ def cmd_train_ppo(args):
     print(json.dumps(out))
     tr.save(args.out)
     print(f"saved → {args.out}")
+    if getattr(args, "analyze", False):
+        _post_training_analysis(env, tr, "ppo_analysis")
 
 
 def cmd_train_sac(args):
