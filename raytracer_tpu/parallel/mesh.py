@@ -48,11 +48,13 @@ def shard_rays(mesh: Mesh, *arrays):
     out = []
     n0 = arrays[0].shape[0]
     n_pad = (-n0) % dp
-    sh = NamedSharding(mesh, P("dp", *([None] * (arrays[0].ndim - 1))))
     for a in arrays:
         if n_pad:
+            # Edge-replicate rather than zero-pad: a zero direction would
+            # NaN under normalisation in the path tracer; a duplicated live
+            # ray is always safe and the padded rows are cropped after.
             pad_width = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
-            a = jnp.pad(a, pad_width)
+            a = jnp.pad(a, pad_width, mode="edge")
         sh_a = NamedSharding(mesh, P("dp", *([None] * (a.ndim - 1))))
         out.append(jax.device_put(a, sh_a))
     return out, n0
@@ -109,3 +111,35 @@ def render_whitted_sharded(mesh: Mesh, scene, glights, plights, origins,
             img = jnp.minimum(1.0, img / 255.0)
         return img
     return render_whitted(scene, glights, plights, o, d, height, width, **kw)
+
+
+def render_path_sharded(mesh: Mesh, scene, key, *, width: int, height: int,
+                        spp: int = 4, max_bounces: int = 3, fov: float = 60.0,
+                        camera_position=(0.0, 2.0, 0.0),
+                        mirror_threshold: float = 0.9,
+                        background=(2.0, 2.0, 5.0), guide_fn=None,
+                        fb_prob: float = 1.0, collect_stats: bool = True,
+                        impl: str = "stepwise"):
+    """Data-parallel path-traced render: the ``H*W*spp`` sample wavefront is
+    sharded ``P('dp')``, the scene replicated; a guide (if given) then runs
+    its forward on dp-sharded observations — with tp-sharded guide params
+    GSPMD inserts the tp collectives inside the policy matmuls.
+
+    ``impl='stepwise'`` keeps the guide in its own compiled program between
+    levels (the TPU-friendly configuration — see trace_path)."""
+    from ..render.path_renderer import _assemble, _camera_bundle
+    from ..trace.path import trace_path
+
+    k_jit, k_trace = jax.random.split(key)
+    cam = jnp.asarray(camera_position, jnp.float32)
+    origins, dirs = _camera_bundle(k_jit, width=width, height=height,
+                                   spp=spp, fov=fov, camera_position=cam)
+    (o, d), n0 = shard_rays(mesh, origins, dirs)
+    scene_r = replicate(mesh, scene)
+    rgb, stats = trace_path(scene_r, o, d, k_trace, max_bounces=max_bounces,
+                            mirror_threshold=mirror_threshold,
+                            background=background, guide_fn=guide_fn,
+                            fb_prob=fb_prob, collect_stats=collect_stats,
+                            impl=impl)
+    img = _assemble(rgb[:n0], spp=spp, height=height, width=width)
+    return img, stats

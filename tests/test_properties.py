@@ -4,7 +4,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raytracer_tpu.parallel.mesh import make_mesh, render_whitted_sharded
+from raytracer_tpu.parallel.mesh import (make_mesh, render_path_sharded,
+                                         render_whitted_sharded,
+                                         shard_fb_params)
 from raytracer_tpu.render.camera import grid_rays, perspective_rays
 from raytracer_tpu.render.renderer import render_whitted
 from raytracer_tpu.render.path_renderer import render_path
@@ -77,6 +79,48 @@ def test_sharded_render_matches_single_device():
     out = render_whitted_sharded(mesh, scene, gl, pl, origins, dirs, h, w,
                                  max_bounces=3, background=p["background"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_sharded_path_render_matches_single_device():
+    """Dp-sharded path render ≡ single-device, including stats counters —
+    the render_whitted twin VERDICT r1 asked for (item 7)."""
+    mesh = make_mesh(8, tp=1)
+    scene, _, _, p = library.chandelier_scene()
+    key = jax.random.key(7)
+    kw = dict(width=16, height=16, spp=4, max_bounces=3,
+              camera_position=p["camera_position"],
+              background=p["background"])
+    ref, rstats = render_path(scene, key, impl="stepwise", **kw)
+    out, ostats = render_path_sharded(mesh, scene, key, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    assert int(ostats.total_rays) == int(rstats.total_rays)
+    assert int(ostats.light_hits) == int(rstats.light_hits)
+
+
+def test_sharded_path_render_guided_dp_tp():
+    """Guided path render over a dp×tp mesh: guide params tp-sharded, obs
+    dp-sharded; must equal the single-device guided render."""
+    from raytracer_tpu.fb.config import FBConfig
+    from raytracer_tpu.fb.inference import TrainedFBAgent, small_light_indices
+
+    scene, _, _, p = library.chandelier_scene()
+    cfg = FBConfig(z_dim=32, e_hidden_dim=256, f_hidden_dim=256,
+                   b_hidden_dim=128)
+    fb = TrainedFBAgent(None, scene, small_light_indices(scene),
+                        p["camera_position"], config=cfg, seed=0)
+    key = jax.random.key(11)
+    kw = dict(width=16, height=16, spp=2, max_bounces=3,
+              camera_position=p["camera_position"],
+              background=p["background"])
+    ref, rstats = render_path(scene, key, impl="stepwise",
+                              guide_fn=fb.as_guide_fn(), **kw)
+
+    mesh = make_mesh(8, tp=2)
+    fb.params = {k: shard_fb_params(mesh, v) for k, v in fb.params.items()}
+    out, ostats = render_path_sharded(mesh, scene, key,
+                                      guide_fn=fb.as_guide_fn(), **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    assert int(ostats.fb_used) == int(rstats.fb_used)
 
 
 def test_threaded_key_independence():
