@@ -4,8 +4,12 @@ Primary headline: the chandelier comparison config (200×100, 8 spp,
 8 bounces — ``chandelier_comparison_*/statistics.json``), traditional path
 tracing.  Baseline: 7,655 rays/s on the reference's CPU (BASELINE.md).
 
-Prints exactly ONE JSON line to stdout; human-readable detail goes to
-stderr.
+Output protocol: the headline JSON line prints to stdout as soon as the
+headline is measured (so a hang in a secondary section can't cost the
+record), then a final JSON line repeats the same headline fields plus an
+``extra`` dict covering the whole perf surface (FB-guided, whitted 800×600,
+planets2, marbles4) — whichever line the driver parses, the headline fields
+are identical.  Human-readable detail goes to stderr.
 """
 import json
 import os
@@ -85,12 +89,14 @@ def main():
 
     # Emit the headline JSON immediately — the extra sections below are
     # informative and must not cost the record if anything hangs.
-    print(json.dumps({
+    headline = {
         "metric": "chandelier_traditional_rays_per_sec",
         "value": round(trad_rps, 1),
         "unit": "rays/s",
         "vs_baseline": round(trad_rps / BASELINE_TRAD_RAYS_PER_SEC, 1),
-    }), flush=True)
+    }
+    print(json.dumps(headline), flush=True)
+    extra = {}
 
     # --- FB-guided chandelier, same config -------------------------------
     idx = small_light_indices(scene)
@@ -117,11 +123,15 @@ def main():
         log(f"fb-guided:   {fdt*1e3:.1f} ms/frame, {int(fstats.total_rays):,} rays, "
             f"{fb_rps/1e6:.2f} Mrays/s, fb_used={int(fstats.fb_used):,} "
             f"(baseline {BASELINE_FB_RAYS_PER_SEC:,.0f} rays/s)")
+        extra["chandelier_fb_rays_per_sec"] = round(fb_rps, 1)
+        extra["chandelier_fb_vs_baseline"] = round(
+            fb_rps / BASELINE_FB_RAYS_PER_SEC, 1)
+        extra["fb_vs_traditional_speedup"] = round(fb_rps / trad_rps, 3)
     except Exception as e:                                  # pragma: no cover
         log(f"fb bench failed: {e!r}")
         fb_rps = 0.0
 
-    # --- secondary: 800x600 chandelier whitted frame ---------------------
+    # --- secondary: 800x600 chandelier whitted frame (north star <50 ms) -
     try:
         from raytracer_tpu.render.camera import perspective_rays
         o, d = perspective_rays(800, 600, fov=60,
@@ -134,8 +144,48 @@ def main():
         wdt, _ = time_steady(run_whitted)
         log(f"whitted 800x600: {wdt*1e3:.1f} ms/frame "
             f"({800*600/wdt/1e6:.1f} Mrays/s primary)")
+        extra["whitted_800x600_ms"] = round(wdt * 1e3, 2)
     except Exception as e:                                  # pragma: no cover
         log(f"whitted bench failed: {e!r}")
+
+    # --- secondary: glass+mirror Whitted scenes (the r1 perf tail) -------
+    # planets2 at the notebook mega config (2001×2001, 10 bounces, real
+    # refraction walk); marbles4 at 4× (801×801, 8 bounces, glass n=2).
+    for name, fn, mult in (("planets2", library.planets2_scene, 10),
+                           ("marbles4", library.marbles4_scene, 4)):
+        try:
+            s2, g2, p2, pr = fn()
+            o2, d2, h2, w2 = grid_rays(pr["ray_count"], pr["ray_step"], mult,
+                                       origin=pr["camera_position"])
+
+            # Mega frames chunk at 1M rays/program: the whole-wavefront
+            # live set of the 10-bounce refract walk exceeds HBM at 4M rays.
+            chunk = 1 << 20 if h2 * w2 > (1 << 21) else None
+
+            def run_scene(s2=s2, g2=g2, p2=p2, o2=o2, d2=d2, h2=h2, w2=w2,
+                          pr=pr, chunk=chunk):
+                return render_whitted(s2, g2, p2, o2, d2, h2, w2,
+                                      max_bounces=pr["max_bounces"],
+                                      background=pr["background"],
+                                      miss_colour=pr.get("sky_colour"),
+                                      chunk_rays=chunk)
+
+            t0 = time.time()
+            jax.block_until_ready(run_scene())
+            log(f"{name} compile+run: {time.time() - t0:.1f}s")
+            sdt, _ = time_steady(run_scene, iters=3)
+            rps = h2 * w2 / sdt
+            log(f"{name} {w2}x{h2} whitted: {sdt*1e3:.1f} ms/frame "
+                f"({rps/1e6:.2f} Mrays/s primary)")
+            extra[f"{name}_primary_rays_per_sec"] = round(rps, 1)
+            extra[f"{name}_ms"] = round(sdt * 1e3, 2)
+        except Exception as e:                              # pragma: no cover
+            log(f"{name} bench failed: {e!r}")
+
+    # Final line: identical headline fields + the full surface, so the
+    # driver's parse is the same whichever JSON line it picks up.
+    print(json.dumps({**headline, "extra": extra}), flush=True)
+
 
 if __name__ == "__main__":
     main()

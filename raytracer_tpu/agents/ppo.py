@@ -216,6 +216,22 @@ class PPOTrainer:
             ck = pickle.load(f)
         self.params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
 
+    def load_sb3(self, path):
+        """Import a stable-baselines3 PPO ``.zip`` save (the reference's
+        checkpoint format, RL/train_raytracer.py:150) — policy + value
+        weights and the state-independent log_std; ``predict`` then
+        reproduces SB3's deterministic actions (tests/test_sb3_import.py)."""
+        from ..utils.sb3_import import (action_bounds, import_ppo_policy,
+                                        load_sb3_zip)
+        ck = load_sb3_zip(path)
+        self.params = jax.tree_util.tree_map(
+            jnp.asarray, import_ppo_policy(ck["policy"]))
+        try:
+            low, high = action_bounds(ck["data"])
+            self.low, self.high = jnp.asarray(low), jnp.asarray(high)
+        except ValueError:
+            pass
+
     def set_parameters(self, params):
         """Parameter transfer between curriculum phases
         (RL/train_raytracer_improved.py:258-274)."""

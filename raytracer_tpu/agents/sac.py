@@ -223,6 +223,28 @@ class SACTrainer:
         self.critic_params = to_j(ck["critic"])
         self.log_alpha = jnp.asarray(ck["log_alpha"])
 
+    def load_sb3(self, path):
+        """Import a stable-baselines3 SAC ``.zip`` save (the reference's
+        checkpoint format, RL/use_trained_model.py:107) — weight-level:
+        actor, both critics, and the target critics all transfer, and
+        ``predict`` then reproduces SB3's deterministic actions (pinned in
+        tests/test_sb3_import.py)."""
+        from ..utils.sb3_import import (action_bounds, import_sac_policy,
+                                        load_sb3_zip)
+        ck = load_sb3_zip(path)
+        trees = import_sac_policy(ck["policy"])
+        to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        self.actor_params = to_j(trees["actor"])
+        self.critic_params = to_j(trees["critic"])
+        self.target_critic_params = to_j(trees["target_critic"])
+        try:
+            low, high = action_bounds(ck["data"])
+            self.low, self.high = jnp.asarray(low), jnp.asarray(high)
+            self.scale = (self.high - self.low) / 2.0
+            self.mid = (self.high + self.low) / 2.0
+        except ValueError:
+            pass                      # keep the env-derived bounds
+
 
 class _Buffer:
     def __init__(self, capacity, obs_dim, action_dim):

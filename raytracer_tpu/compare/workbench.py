@@ -20,9 +20,34 @@ from ..env.raytracer_env import RayTracerEnv
 from ..scene.types import Scene
 
 MODEL_PATH_CANDIDATES = [
-    "{name}", "{name}.pkl", "{name}.npz", "models/{name}",
-    "models/{name}.pkl", "./checkpoints/{name}.pkl",
+    "{name}", "{name}.pkl", "{name}.npz", "{name}.zip", "models/{name}",
+    "models/{name}.pkl", "models/{name}.zip", "./checkpoints/{name}.pkl",
 ]
+
+
+def load_policy(path, env: RayTracerEnv, algo: Optional[str] = None):
+    """Build a ``predict``-capable trainer from any checkpoint format:
+    native ``.pkl`` (PPO/SAC save), or an SB3 ``.zip`` (weight-level import
+    via utils/sb3_import — RL/use_trained_model.py:107's SAC.load path).
+
+    ``algo`` ("ppo"/"sac") disambiguates; for zips it is sniffed from the
+    archive's state-dict keys when omitted."""
+    from ..agents.ppo import PPOTrainer
+    from ..agents.sac import SACTrainer
+
+    path = str(path)
+    if path.endswith(".zip"):
+        if algo is None:
+            from ..utils.sb3_import import load_sb3_zip
+            keys = load_sb3_zip(path)["policy"]
+            algo = "sac" if any(k.startswith("actor.") for k in keys) \
+                else "ppo"
+        tr = (SACTrainer if algo == "sac" else PPOTrainer)(env)
+        tr.load_sb3(path)
+        return tr
+    tr = (SACTrainer if algo == "sac" else PPOTrainer)(env)
+    tr.load(path)
+    return tr
 
 
 def check_model_exists(name: str, base: str = ".") -> Optional[Path]:

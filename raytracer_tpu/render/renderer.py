@@ -36,6 +36,26 @@ def material_flags(scene: Scene):
             bool(np.any(np.asarray(scene.reflective) == 1.0)))
 
 
+@partial(jax.jit, static_argnames=("max_bounces", "enable_glass",
+                                   "enable_mirror", "use_pallas"))
+def _shade_flat(scene: Scene, glights: GlobalLights, plights: PointLights,
+                origins: jnp.ndarray, dirs: jnp.ndarray, *,
+                max_bounces: int, background, miss_colour,
+                enable_glass: bool, enable_mirror: bool,
+                use_pallas: bool) -> jnp.ndarray:
+    """Flat ``[R, 3]`` reference-unit shading of a ray wavefront — the
+    chunk-reusable compiled body of the frame renderer."""
+    dtype = origins.dtype
+    background = jnp.asarray(background, dtype)
+    miss = background if miss_colour is None else jnp.asarray(miss_colour, dtype)
+
+    res = trace_whitted(scene, origins, dirs, max_bounces=max_bounces,
+                        enable_glass=enable_glass,
+                        enable_mirror=enable_mirror, use_pallas=use_pallas)
+    rgb = terminal_rgb(scene, glights, plights, res, background)
+    return jnp.where(res.hit[:, None], rgb, miss[None, :])
+
+
 @partial(jax.jit, static_argnames=("max_bounces", "height", "width", "mode",
                                    "enable_glass", "enable_mirror",
                                    "use_pallas"))
@@ -45,16 +65,10 @@ def _render_whitted(scene: Scene, glights: GlobalLights,
                     max_bounces: int, background, miss_colour, mode: str,
                     enable_glass: bool, enable_mirror: bool,
                     use_pallas: bool) -> jnp.ndarray:
-    dtype = origins.dtype
-    background = jnp.asarray(background, dtype)
-    miss = background if miss_colour is None else jnp.asarray(miss_colour, dtype)
-
-    res = trace_whitted(scene, origins, dirs, max_bounces=max_bounces,
-                        enable_glass=enable_glass,
-                        enable_mirror=enable_mirror, use_pallas=use_pallas)
-    rgb = terminal_rgb(scene, glights, plights, res, background)
-    rgb = jnp.where(res.hit[:, None], rgb, miss[None, :])
-
+    rgb = _shade_flat(scene, glights, plights, origins, dirs,
+                      max_bounces=max_bounces, background=background,
+                      miss_colour=miss_colour, enable_glass=enable_glass,
+                      enable_mirror=enable_mirror, use_pallas=use_pallas)
     img = rgb.reshape(height, width, 3)
     if mode == "unit":
         return jnp.minimum(1.0, img / 255.0)
@@ -68,24 +82,44 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
                    height: int, width: int, *, max_bounces: int = 5,
                    background=(0.0, 0.0, 0.0),
                    miss_colour: Optional[tuple] = None,
-                   mode: str = "unit", use_pallas: bool = False) -> jnp.ndarray:
+                   mode: str = "unit", use_pallas: bool = False,
+                   chunk_rays: Optional[int] = None) -> jnp.ndarray:
     """Render an ``[H, W, 3]`` frame.  ``miss_colour`` defaults to
     ``background`` (Planets notebooks use the background for misses;
     Marbles 4 substitutes a sky colour).
 
     Statically specialises away the refract walk / mirror bounce when the
     concrete scene has no exactly-1.0 transparent / reflective spheres.
+
+    ``chunk_rays`` traces the wavefront in fixed-size chunks through ONE
+    compiled program (last chunk edge-padded to size): mega frames whose
+    whole-wavefront live set exceeds HBM (e.g. planets2 2001×2001 ×
+    10-bounce refract walk) render at full fidelity, bounded-memory.
     """
     try:
         enable_glass, enable_mirror = material_flags(scene)
     except Exception:       # traced scene (called under jit): keep both on
         enable_glass = enable_mirror = True
-    return _render_whitted(scene, glights, plights, origins, dirs, height,
-                           width, max_bounces=max_bounces,
-                           background=tuple(np.asarray(background, float).tolist()),
-                           miss_colour=(None if miss_colour is None else
-                                        tuple(np.asarray(miss_colour,
-                                                         float).tolist())),
-                           mode=mode, enable_glass=enable_glass,
-                           enable_mirror=enable_mirror,
-                           use_pallas=use_pallas)
+    background = tuple(np.asarray(background, float).tolist())
+    miss_colour = (None if miss_colour is None else
+                   tuple(np.asarray(miss_colour, float).tolist()))
+    kw = dict(max_bounces=max_bounces, background=background,
+              miss_colour=miss_colour, enable_glass=enable_glass,
+              enable_mirror=enable_mirror, use_pallas=use_pallas)
+    n = origins.shape[0]
+    if chunk_rays is None or chunk_rays >= n:
+        return _render_whitted(scene, glights, plights, origins, dirs,
+                               height, width, mode=mode, **kw)
+    parts = []
+    for i in range(0, n, chunk_rays):
+        o, d = origins[i:i + chunk_rays], dirs[i:i + chunk_rays]
+        if o.shape[0] < chunk_rays:                   # pad → same program
+            pad = [(0, chunk_rays - o.shape[0]), (0, 0)]
+            o, d = jnp.pad(o, pad, mode="edge"), jnp.pad(d, pad, mode="edge")
+        parts.append(_shade_flat(scene, glights, plights, o, d, **kw))
+    img = jnp.concatenate(parts)[:n].reshape(height, width, 3)
+    if mode == "unit":
+        return jnp.minimum(1.0, img / 255.0)
+    if mode == "raw":
+        return img
+    raise ValueError(f"unknown mode {mode!r}")
