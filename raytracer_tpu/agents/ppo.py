@@ -37,6 +37,10 @@ class PPOConfig:
     minibatches: int = 4
     max_grad_norm: float = 0.5
     hidden: Tuple[int, ...] = (64, 64)
+    # SB3-style TensorBoard event logging (RL/train_raytracer.py:143 passes
+    # tensorboard_log="./raytracer_ppo_tensorboard/"); runs land in
+    # {tensorboard_log}/PPO_{N}/ like the reference's recorded PPO_1..3.
+    tensorboard_log: Optional[str] = None
 
 
 class PPOTrainer:
@@ -181,6 +185,10 @@ class PPOTrainer:
         steps_per_iter = T * self.cfg.batch_envs
         iters = max(1, total_timesteps // steps_per_iter)
         losses = []
+        tb = None
+        if self.cfg.tensorboard_log:
+            from ..utils.tb import SummaryWriter, next_run_dir
+            tb = SummaryWriter(next_run_dir(self.cfg.tensorboard_log, "PPO"))
         for i in range(iters):
             self._key, k1, k2 = jax.random.split(self._key, 3)
             recs, last_value, ep_rewards = self._rollout(self.params, k1)
@@ -188,6 +196,13 @@ class PPOTrainer:
                 self.params, self.opt_state, recs, last_value, k2)
             losses.append(float(loss))
             self.episode_rewards.append(float(jnp.mean(ep_rewards)))
+            if tb is not None:
+                step = (i + 1) * steps_per_iter
+                tb.add_scalar("rollout/ep_rew_mean",
+                              self.episode_rewards[-1], step)
+                tb.add_scalar("train/loss", losses[-1], step)
+        if tb is not None:
+            tb.close()
         return {"iterations": iters, "final_loss": losses[-1],
                 "mean_episode_reward": float(np.mean(
                     self.episode_rewards[-log_every:]))}

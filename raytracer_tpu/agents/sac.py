@@ -31,6 +31,10 @@ class SACConfig:
     gamma: float = 0.99
     batch_envs: int = 128
     hidden: Tuple[int, ...] = (256, 256)
+    # SB3-style TensorBoard event logging; runs land in
+    # {tensorboard_log}/SAC_{N}/ (the reference's PPO twin writes
+    # raytracer_ppo_tensorboard/PPO_N, RL/train_raytracer.py:143).
+    tensorboard_log: Optional[str] = None
 
 
 class SACTrainer:
@@ -148,6 +152,10 @@ class SACTrainer:
         B = self.cfg.batch_envs
         T = env.max_bounces + 2
         closs = aloss = 0.0
+        tb = None
+        if self.cfg.tensorboard_log:
+            from ..utils.tb import SummaryWriter, next_run_dir
+            tb = SummaryWriter(next_run_dir(self.cfg.tensorboard_log, "SAC"))
         while self.total_steps < total_timesteps:
             self._key, kr, ks = jax.random.split(self._key, 3)
             state, obs = env.reset(kr, batch=B)
@@ -187,6 +195,18 @@ class SACTrainer:
                         self.target_critic_params, self.log_alpha,
                         (self.actor_opt, self.critic_opt, self.alpha_opt),
                         tuple(jnp.asarray(b) for b in batch), ku)
+            if tb is not None:
+                tb.add_scalar("rollout/ep_rew_mean",
+                              self.episode_rewards[-1], self.total_steps)
+                tb.add_scalar("train/critic_loss", float(closs),
+                              self.total_steps)
+                tb.add_scalar("train/actor_loss", float(aloss),
+                              self.total_steps)
+                tb.add_scalar("train/ent_coef",
+                              float(jnp.exp(self.log_alpha)),
+                              self.total_steps)
+        if tb is not None:
+            tb.close()
         return {"total_steps": self.total_steps,
                 "critic_loss": float(closs), "actor_loss": float(aloss),
                 "mean_episode_reward": float(np.mean(

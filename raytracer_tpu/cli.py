@@ -73,7 +73,9 @@ def _make_rl_env(variant="rl", max_bounces=5):
 def cmd_train_ppo(args):
     from .agents.ppo import PPOConfig, PPOTrainer
     env = _make_rl_env()
-    tr = PPOTrainer(env, PPOConfig(learning_rate=args.lr), seed=args.seed)
+    tr = PPOTrainer(env, PPOConfig(learning_rate=args.lr,
+                                   tensorboard_log=args.tensorboard_log),
+                    seed=args.seed)
     out = tr.train(args.timesteps)
     print(json.dumps(out))
     tr.save(args.out)
@@ -85,7 +87,9 @@ def cmd_train_ppo(args):
 def cmd_train_sac(args):
     from .agents.sac import SACConfig, SACTrainer
     env = _make_rl_env()
-    tr = SACTrainer(env, SACConfig(learning_rate=args.lr), seed=args.seed)
+    tr = SACTrainer(env, SACConfig(learning_rate=args.lr,
+                                   tensorboard_log=args.tensorboard_log),
+                    seed=args.seed)
     out = tr.train(args.timesteps)
     print(json.dumps(out))
     tr.save(args.out)
@@ -233,6 +237,9 @@ def main(argv=None):
         t.add_argument("--seed", type=int, default=0)
         t.add_argument("--out", default=f"{name.replace('-', '_')}_model.pkl")
         t.add_argument("--analyze", action="store_true")
+        t.add_argument("--tensorboard-log", default=None,
+                       help="write SB3-style TensorBoard events under "
+                            "this dir (e.g. ./raytracer_ppo_tensorboard/)")
         t.set_defaults(fn=fn)
 
     q = sub.add_parser("train-q")
