@@ -7,6 +7,7 @@ from pathlib import Path
 import pytest
 
 MODEL = Path(__file__).parents[1] / "models" / "fb_chandelier_trained.npz"
+COMPLEX_MODEL = Path(__file__).parents[1] / "models" / "fb_complex_trained.npz"
 
 
 @pytest.mark.skipif(not MODEL.exists(), reason="shipped model missing")
@@ -20,3 +21,23 @@ def test_shipped_chandelier_model_improves_small_light_hits():
     imp = stats["comparison"]["small_light_improvement"]
     assert stats["fb"]["fb_used"] > 0
     assert imp > 1.1, f"small-light improvement degraded: {imp}"
+
+
+@pytest.mark.skipif(not COMPLEX_MODEL.exists(), reason="shipped model missing")
+def test_shipped_complex_model_improves_light_hits():
+    """Complex-scene twin: the shipped model measured 14.98× light-hit
+    improvement at the full config (showcase/complex_comparison_trained/
+    statistics.json; reference trained model: 7.93×).  Pinned at > 5× at
+    this reduced config so a training/inference regression can't ship
+    silently."""
+    from raytracer_tpu.compare.harness import complex_comparison
+
+    stats = complex_comparison(model_path=str(COMPLEX_MODEL), width=100,
+                               height=50, samples_per_pixel=4,
+                               max_bounces=8, seed=5, save_png=False,
+                               out_dir="/tmp/_trained_complex_check")
+    trad, fb = stats["traditional"], stats["fb"]
+    assert fb["fb_used"] > 0
+    imp = (fb["light_hits"] / max(1, trad["light_hits"])
+           / max(1e-9, fb["total_rays"] / max(1, trad["total_rays"])))
+    assert imp > 5.0, f"complex light-hit improvement degraded: {imp}"
