@@ -43,41 +43,65 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
                    traditional_mirror_threshold: float = 0.0,
                    fb_mirror_threshold: float = 0.9,
                    out_dir: Optional[str] = None, scene_name: str = "scene",
-                   seed: int = 0, save_png: bool = True) -> dict:
+                   seed: int = 0, save_png: bool = True,
+                   warmup: bool = True, impl: str = "stepwise") -> dict:
     """Run the two renders and write artifacts.  Returns the stats dict.
 
     ``traditional_mirror_threshold`` defaults to the chandelier script's
     ``reflective > 0`` rule; pass 0.9 for the complex script's variant.
+
+    ``model_path`` may be a full FB checkpoint (``.npz``/``.pth`` →
+    TrainedFBAgent) or a distilled deployment policy
+    (``*_distilled.npz`` → fb.distill.DistilledGuide — the near-zero-cost
+    guide).  ``warmup=True`` pre-runs both renders once so the recorded
+    wall-clock is the steady-state frame time, not shape compilation (the
+    honest TPU number: compiles are one-time per shape and persistently
+    cached; the reference's CPU timings had no compile either).
     """
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     out = Path(out_dir or f"./{scene_name}_comparison_{timestamp}")
     out.mkdir(parents=True, exist_ok=True)
 
     idx = small_light_indices(scene)
-    agent = TrainedFBAgent(model_path, scene, idx, camera_position)
-    guide = agent.as_guide_fn() if agent.loaded else None
-    fb_prob = 1.0 if agent.loaded else 0.0
+    if model_path is not None and str(model_path).endswith("_distilled.npz"):
+        from ..fb.distill import DistilledGuide
+        guide = DistilledGuide.load(str(model_path)).as_guide_fn()
+        fb_prob = 1.0
+    else:
+        agent = TrainedFBAgent(model_path, scene, idx, camera_position)
+        guide = agent.as_guide_fn() if agent.loaded else None
+        fb_prob = 1.0 if agent.loaded else 0.0
 
     key = jax.random.key(seed)
     k1, k2 = jax.random.split(key)
 
+    def run_trad(k):
+        return render_path(
+            scene, k, width=width, height=height, spp=samples_per_pixel,
+            max_bounces=max_bounces, camera_position=camera_position,
+            mirror_threshold=traditional_mirror_threshold, impl=impl)
+
+    def run_fb(k):
+        # Falls back to traditional sampling with fb_prob=0 when no model,
+        # matching WorkingFBRenderer's fallback.
+        return render_path(
+            scene, k, width=width, height=height, spp=samples_per_pixel,
+            max_bounces=max_bounces, camera_position=camera_position,
+            mirror_threshold=fb_mirror_threshold, guide_fn=guide,
+            fb_prob=fb_prob, impl=impl)
+
+    if warmup:
+        jax.block_until_ready(run_trad(k1)[0])
+        jax.block_until_ready(run_fb(k2)[0])
+
     # Traditional.
     t0 = time.time()
-    trad_img, trad_stats = render_path(
-        scene, k1, width=width, height=height, spp=samples_per_pixel,
-        max_bounces=max_bounces, camera_position=camera_position,
-        mirror_threshold=traditional_mirror_threshold)
+    trad_img, trad_stats = run_trad(k1)
     jax.block_until_ready(trad_img)
     trad_time = time.time() - t0
 
-    # FB (falls back to traditional sampling with fb_prob=0 when no model,
-    # matching WorkingFBRenderer's fallback).
     t0 = time.time()
-    fb_img, fb_stats = render_path(
-        scene, k2, width=width, height=height, spp=samples_per_pixel,
-        max_bounces=max_bounces, camera_position=camera_position,
-        mirror_threshold=fb_mirror_threshold, guide_fn=guide,
-        fb_prob=fb_prob)
+    fb_img, fb_stats = run_fb(k2)
     jax.block_until_ready(fb_img)
     fb_time = time.time() - t0
 

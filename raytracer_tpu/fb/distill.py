@@ -1,0 +1,273 @@
+"""Policy distillation: trained FB agent → tiny deployment guide.
+
+The trained FB stack (512-wide encoder + 256-wide backward model,
+fb/networks.py) costs ~437k MACs per guided ray per bounce — measured
+65 ms/frame even in bf16 at the chandelier comparison config, which is most
+of the FB renderer's wall-clock gap to traditional sampling (the
+reference's core failure mode: its per-ray CPU inference lost 6.7×,
+chandelier_comparison_20260217_210620/statistics.json speedup 0.149).
+
+For *inference* the policy is just ``obs[22] → action[2]`` with a fixed
+light prototype baked in, so we distil it into a 64-wide student MLP
+(~5.6k MACs, ~80× cheaper) trained to match the teacher's actions on the
+observation distribution the renderer actually visits (collected from
+guided render wavefronts) plus jittered copies for coverage.  The student
+is exact enough to keep the teacher's light-hit improvement (pinned in
+tests/test_distill.py) while making the guide's cost ~vanish.
+
+This has no reference counterpart — it is the deployment answer to the
+reference's "FB inference is 6.7× slower" problem.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..scene.types import Scene
+
+
+class StudentPolicy(nn.Module):
+    hidden: Tuple[int, ...] = (64, 64)
+    action_dim: int = 2
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        return nn.Dense(self.action_dim)(x)
+
+
+def collect_observations(scene: Scene, guide_fn, key: jax.Array, *,
+                         width: int = 128, height: int = 64, spp: int = 4,
+                         max_bounces: int = 8, frames: int = 4,
+                         camera_position=(0.0, 2.0, 0.0),
+                         mirror_threshold: float = 0.9) -> np.ndarray:
+    """Observation wavefronts from guided renders — the on-path obs
+    distribution the deployed guide will see.  Mirrors the stepwise trace
+    loop (trace/path.py) and records each level's diffuse-lane obs."""
+    from ..core import vec
+    from ..render.path_renderer import _camera_bundle
+    from ..trace.path import _apply_guide, _level_kernel
+
+    out = []
+    cam = jnp.asarray(camera_position, jnp.float32)
+    for f in range(frames):
+        key, kf, kt = jax.random.split(key, 3)
+        o, d = _camera_bundle(kf, width=width, height=height, spp=spp,
+                              fov=60.0, camera_position=cam)
+        d = vec.normalise_safe(d)
+        running = jnp.ones((o.shape[0],), bool)
+        keys = jax.random.split(kt, max_bounces)
+        for lvl in range(max_bounces):
+            (o, d, running, _state, _alb, _dir, obs, diffuse, fb_u,
+             normal, _stats) = _level_kernel(
+                scene, o, d, running, keys[lvl],
+                jnp.asarray(float(lvl), jnp.float32),
+                max_bounces=max_bounces, mirror_threshold=mirror_threshold,
+                want_obs=True)
+            action = guide_fn(obs)
+            d = _apply_guide(action, normal, diffuse, d, diffuse)
+            mask = np.asarray(diffuse)
+            if mask.any():
+                out.append(np.asarray(obs)[mask])
+    return np.concatenate(out) if out else np.zeros((0, 22), np.float32)
+
+
+@dataclasses.dataclass
+class DistillResult:
+    params: dict
+    hidden: Tuple[int, ...]
+    final_loss: float
+    n_obs: int
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "tx"))
+def _distill_step(params, opt_state, obs, target, weight, *, apply_fn, tx):
+    def loss_fn(p):
+        pred = apply_fn({"params": p}, obs)
+        se = jnp.sum((pred - target) ** 2, axis=-1)
+        return jnp.sum(weight * se) / jnp.maximum(jnp.sum(weight), 1e-9)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+
+def _chunked(fn, arr, chunk=1 << 19):
+    """Apply ``fn`` over row chunks (bounds the activation footprint — the
+    teacher forward on millions of obs at 512-wide would exceed HBM)."""
+    outs = [np.asarray(fn(jnp.asarray(arr[i:i + chunk])))
+            for i in range(0, arr.shape[0], chunk)]
+    return np.concatenate(outs)
+
+
+def light_hit_weights(scene: Scene, obs: np.ndarray, actions: np.ndarray,
+                      *, bonus: float = 9.0,
+                      small_radius_below: float = 0.5) -> np.ndarray:
+    """Imitation weights: 1, plus ``bonus`` where the teacher's action,
+    shot from the obs's surface point, hits an emissive sphere (double
+    bonus for the small lights).  Plain MSE optimises average action error,
+    but the deployment metric is *light hits* — the lanes where the teacher
+    is pointing at a light are exactly the ones the student must copy to
+    sub-0.01 action error (a 0.1-radius light subtends ~0.017 rad)."""
+    from ..core.intersect import NO_SUPPRESS, nearest_hit
+    from ..trace import sampling
+
+    def shoot(args):
+        o, a = args
+        point, normal = o[:, 0:3], o[:, 6:9]
+        direction = sampling.fb_action_to_direction(
+            jnp.clip(a, -1.0, 1.0), normal, "renderer")
+        hit = nearest_hit(point + normal * 0.001, direction, scene,
+                          jnp.full(o.shape[:1], NO_SUPPRESS, jnp.int32),
+                          by_abs=True)
+        from ..core.intersect import take_small
+        emis = hit.found & (take_small(scene.emitive, hit.idx) > 0)
+        small = emis & (take_small(scene.radius, hit.idx)
+                        < small_radius_below)
+        return 1.0 + bonus * emis + bonus * small
+
+    chunk = 1 << 19
+    outs = []
+    for i in range(0, obs.shape[0], chunk):
+        outs.append(np.asarray(jax.jit(shoot)(
+            (jnp.asarray(obs[i:i + chunk]),
+             jnp.asarray(actions[i:i + chunk])))))
+    return np.concatenate(outs).astype(np.float32)
+
+
+def distill(teacher_guide_fn, obs: np.ndarray, *, seed: int = 0,
+            hidden: Tuple[int, ...] = (64, 64), epochs: int = 30,
+            batch_size: int = 65536, learning_rate: float = 3e-3,
+            jitter: float = 0.02,
+            weights: Optional[np.ndarray] = None,
+            weight_fn=None) -> DistillResult:
+    """Fit the student to the teacher's actions on ``obs`` (+ jittered
+    copies so the student generalises off the exact visited manifold).
+
+    Precision matters more than usual for imitation here: actions map to
+    bounce angles and the chandelier's 0.1-radius lights subtend ~0.017 rad
+    from typical surfaces, so ~0.02 RMS action error already halves the
+    small-light hit rate.  Cosine-decayed Adam drives the terminal loss
+    low enough (~1e-5 MSE ≈ 0.003 RMS) that the student's hit behaviour
+    matches the teacher's.
+    """
+    rng = np.random.default_rng(seed)
+    obs = np.asarray(obs, np.float32)
+    if jitter > 0:
+        obs = np.concatenate(
+            [obs, obs + rng.normal(scale=jitter,
+                                   size=obs.shape).astype(np.float32)])
+    # Teacher targets in bounded chunks — one batched forward over millions
+    # of obs would blow HBM on the activations.
+    target = np.clip(_chunked(teacher_guide_fn, obs), -1.0, 1.0)
+    if weights is None and weight_fn is not None:
+        weights = weight_fn(obs, target)
+    weights = (np.ones(obs.shape[0], np.float32) if weights is None
+               else np.asarray(weights, np.float32))
+
+    obs_j = jnp.asarray(obs)
+    target_j = jnp.asarray(target)
+    weights_j = jnp.asarray(weights)
+
+    student = StudentPolicy(hidden=hidden)
+    params = student.init(jax.random.key(seed),
+                          jnp.zeros((1, obs.shape[1])))["params"]
+    steps_per_epoch = max(1, obs.shape[0] // batch_size)
+    tx = optax.adam(optax.cosine_decay_schedule(
+        learning_rate, epochs * steps_per_epoch, alpha=1e-3))
+    opt_state = tx.init(params)
+
+    n = obs.shape[0]
+    loss = jnp.inf
+    for ep in range(epochs):
+        perm = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size) or [0]:
+            idx = perm[i:i + batch_size]
+            params, opt_state, loss = _distill_step(
+                params, opt_state, obs_j[idx], target_j[idx], weights_j[idx],
+                apply_fn=student.apply, tx=tx)
+    return DistillResult(params=params, hidden=tuple(hidden),
+                         final_loss=float(loss), n_obs=n)
+
+
+class DistilledGuide:
+    """Deployment guide: ``obs[R,22] → action[R,2]`` through the student."""
+
+    def __init__(self, params, hidden: Tuple[int, ...] = (64, 64)):
+        self.hidden = tuple(hidden)
+        self.params = params
+        self._student = StudentPolicy(hidden=self.hidden)
+
+    def as_guide_fn(self, dtype="auto"):
+        if dtype == "auto":
+            dtype = (jnp.bfloat16
+                     if jax.default_backend() not in ("cpu", "gpu")
+                     else None)
+        apply_fn = self._student.apply
+
+        @jax.jit
+        def _forward(params, obs):
+            if dtype is not None:
+                params = jax.tree_util.tree_map(lambda x: x.astype(dtype),
+                                                params)
+                obs = obs.astype(dtype)
+            return apply_fn({"params": params}, obs).astype(jnp.float32)
+
+        params = self.params
+
+        def guide(obs):
+            return _forward(params, obs)
+
+        guide._no_rejit = True
+        return guide
+
+    # -- persistence (same flat-npz convention as utils/checkpoint) -------
+    def save(self, path: str, obs_dim: int = 22) -> None:
+        from ..utils.checkpoint import _flatten
+        np.savez(path, __hidden__=np.asarray(self.hidden, np.int64),
+                 __obs_dim__=np.asarray(obs_dim, np.int64),
+                 **_flatten(self.params))
+
+    @staticmethod
+    def load(path: str) -> "DistilledGuide":
+        from ..utils.checkpoint import _unflatten_like
+        z = np.load(path)
+        hidden = tuple(int(h) for h in z["__hidden__"])
+        obs_dim = int(z["__obs_dim__"])
+        template = StudentPolicy(hidden=hidden).init(
+            jax.random.key(0), jnp.zeros((1, obs_dim)))["params"]
+        flat = {k: z[k] for k in z.files
+                if not k.startswith("__")}
+        return DistilledGuide(_unflatten_like(template, flat), hidden)
+
+
+def distill_agent(agent, scene: Scene, *, seed: int = 0,
+                  camera_position=(0.0, 2.0, 0.0),
+                  frames: int = 4, epochs: int = 30,
+                  hidden: Tuple[int, ...] = (64, 64),
+                  extra_obs: Optional[np.ndarray] = None,
+                  hit_weight_bonus: float = 9.0
+                  ) -> Tuple[DistilledGuide, DistillResult]:
+    """One-call distillation of a ``TrainedFBAgent`` on its scene, with
+    light-hit-weighted imitation (see ``light_hit_weights``)."""
+    teacher = agent.as_guide_fn(dtype=None)          # f32 teacher targets
+    obs = collect_observations(scene, teacher, jax.random.key(seed),
+                               frames=frames, camera_position=camera_position)
+    if extra_obs is not None and len(extra_obs):
+        obs = np.concatenate([obs, np.asarray(extra_obs, np.float32)])
+    weight_fn = None
+    if hit_weight_bonus > 0:
+        def weight_fn(o, a):
+            return light_hit_weights(scene, o, a, bonus=hit_weight_bonus)
+    res = distill(teacher, obs, seed=seed, hidden=hidden, epochs=epochs,
+                  weight_fn=weight_fn)
+    return DistilledGuide(res.params, res.hidden), res

@@ -136,7 +136,7 @@ class TrainedFBAgent:
         a = np.clip(np.asarray(mean), -1.0, 1.0)
         return a[0] if a.shape[0] == 1 else a
 
-    def as_guide_fn(self, dtype=None):
+    def as_guide_fn(self, dtype="auto"):
         """A ``obs[R,22] -> action[R,2]`` callable for trace_path.
 
         The params are passed as jit *arguments*, not closed-over constants:
@@ -144,10 +144,18 @@ class TrainedFBAgent:
         and crash the TPU compiler's fusion cost model (observed SIGILL in
         TpuPriorityFusionQueue::NormalizedComputationCost).
 
-        ``dtype=jnp.bfloat16`` runs the policy matmuls on the MXU in bf16
-        (actions are a sampler steer, not geometry — precision headroom is
-        ample); default keeps f32.
+        ``dtype="auto"`` (default) picks bfloat16 on TPU backends — the
+        policy matmuls halve their HBM traffic and run the MXU at full rate
+        (measured: guide cost 130 → 65 ms/frame at the chandelier config);
+        actions are a sampler steer, not geometry, so precision headroom is
+        ample.  Non-TPU backends keep f32 (exact parity with the float64
+        oracle tests).  Pass an explicit dtype (or None for f32) to
+        override.
         """
+        if dtype == "auto":
+            dtype = (jnp.bfloat16
+                     if jax.default_backend() not in ("cpu", "gpu")
+                     else None)
         enc, bwd = self.enc, self.bwd
 
         @jax.jit

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import vec
-from ..core.intersect import NO_SUPPRESS, nearest_hit
+from ..core.intersect import NO_SUPPRESS, nearest_hit, take_small
 from ..scene.types import Scene
 from . import sampling
 
@@ -73,14 +73,14 @@ def make_observation(point, normal, ray_dir, bounce_count, colour, scene,
     halfpad = jnp.full(point.shape[:-1] + (3,), 0.5, dtype)
     return jnp.concatenate([
         point, ray_dir, normal,
-        scene.reflective[idx][..., None].astype(dtype),
-        scene.transparent[idx][..., None].astype(dtype),
-        scene.emitive[idx][..., None].astype(dtype),
-        scene.ior[idx][..., None].astype(dtype),
+        take_small(scene.reflective, idx)[..., None].astype(dtype),
+        take_small(scene.transparent, idx)[..., None].astype(dtype),
+        take_small(scene.emitive, idx)[..., None].astype(dtype),
+        take_small(scene.ior, idx)[..., None].astype(dtype),
         (colour / 255.0).astype(dtype),
         (bounce_count / max_bounces)[..., None].astype(dtype),
         jnp.zeros(point.shape[:-1] + (1,), dtype),
-        (scene.id[idx].astype(dtype) / 100.0)[..., None],
+        (take_small(scene.id, idx).astype(dtype) / 100.0)[..., None],
         halfpad,
     ], axis=-1)
 
@@ -149,8 +149,8 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         hit = nearest_hit(o, d, scene, no_sup, by_abs=True)
         found = running & hit.found
 
-        emis = found & emissive_mask[hit.idx]
-        mirror = found & ~emis & is_mirror[hit.idx]
+        emis = found & take_small(emissive_mask, hit.idx)
+        mirror = found & ~emis & take_small(is_mirror, hit.idx)
         diffuse = found & ~emis & ~mirror
         cont = mirror | diffuse
 
@@ -193,10 +193,11 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                           jnp.where(emis, _EMISSIVE,
                                     jnp.where(cont, _CONT, _MISS)),
                           _INACTIVE).astype(jnp.int8)
-        albedo = scene.colour[hit.idx].astype(dtype)
+        albedo = take_small(scene.colour, hit.idx).astype(dtype)
         emis_colour = albedo                                         # light colour
         level_stats = (jnp.sum(running), jnp.sum(found), jnp.sum(emis),
-                       jnp.sum(found & small_mask[hit.idx]), fb_count)
+                       jnp.sum(found & take_small(small_mask, hit.idx)),
+                       fb_count)
         out = (state, albedo, direct, emis_colour)
         return (o, d, running & cont), (out, level_stats)
 
@@ -266,8 +267,8 @@ def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
     else:
         hit = nearest_hit(o, d, scene, no_sup, by_abs=True)
     found = running & hit.found
-    emis = found & emissive_mask[hit.idx]
-    mirror = found & ~emis & is_mirror[hit.idx]
+    emis = found & take_small(emissive_mask, hit.idx)
+    mirror = found & ~emis & take_small(is_mirror, hit.idx)
     diffuse = found & ~emis & ~mirror
     cont = mirror | diffuse
 
@@ -303,9 +304,9 @@ def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
                       jnp.where(emis, _EMISSIVE,
                                 jnp.where(cont, _CONT, _MISS)),
                       _INACTIVE).astype(jnp.int8)
-    albedo = scene.colour[hit.idx].astype(dtype)
+    albedo = take_small(scene.colour, hit.idx).astype(dtype)
     stats = (jnp.sum(running), jnp.sum(found), jnp.sum(emis),
-             jnp.sum(found & small_mask[hit.idx]))
+             jnp.sum(found & take_small(small_mask, hit.idx)))
     return (o, d, running & cont, state, albedo, direct, obs, diffuse,
             fb_u, hit.normal, stats)
 

@@ -18,8 +18,10 @@ Shading model, per terminal intersection:
   the only rounding site is ``Colour.illuminate`` (RL/colour.py:21-28,
   Python ``round`` = banker's rounding = ``jnp.round``).
 
-Shadow rays are batched as a second intersection sweep over
-``[rays × point_lights]`` — no recursion, one fused kernel.
+Shadow rays run as one ``[R]``-wide nearest-hit sweep per point light
+(lights are few and statically known; unrolling avoids ``[R, P, 3]``
+broadcast temporaries the same way nearest_hit unrolls its sphere axis) —
+no recursion, one fused kernel.
 """
 from __future__ import annotations
 
@@ -29,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import vec
+from ..core.intersect import take_small
 from ..scene.types import GlobalLights, PointLights, Scene
 from .whitted import TraceResult, trace_whitted
 
@@ -51,28 +54,27 @@ def terminal_rgb(scene: Scene, glights: GlobalLights, plights: PointLights,
     dtype = res.point.dtype
     background = jnp.asarray(background, dtype)
     R = res.point.shape[0]
-    albedo = scene.colour[res.idx].astype(dtype)             # [R, 3]
-    emitivity = scene.emitive[res.idx].astype(dtype)
+    albedo = take_small(scene.colour, res.idx).astype(dtype)       # [R, 3]
+    emitivity = take_small(scene.emitive, res.idx).astype(dtype)
 
     illum = albedo * emitivity[:, None]                      # RL/ray.py:41
 
-    # Global lights (RL/ray.py:43-45).
-    if glights.count:
-        gvec = glights.vector.astype(dtype)                  # [G, 3]
-        ang = vec.angle_between(res.normal[:, None, :], gvec[None, :, :])  # [R, G]
-        rel = incidence(ang, glights.max_angle.astype(dtype)) * glights.strength.astype(dtype)
-        illum = illum + jnp.sum(rel[..., None] * glights.colour.astype(dtype)[None], axis=1)
+    # Global lights (RL/ray.py:43-45), unrolled per light: no [R, G]
+    # broadcast temporaries (same layout rationale as nearest_hit).
+    for g in range(glights.count):
+        gvec = glights.vector[g].astype(dtype)               # [3]
+        ang = vec.angle_between(res.normal, gvec[None, :])   # [R]
+        rel = (incidence(ang, glights.max_angle[g].astype(dtype))
+               * glights.strength[g].astype(dtype))
+        illum = illum + rel[:, None] * glights.colour[g].astype(dtype)[None]
 
-    # Point lights with shadow rays (RL/ray.py:47-62).
+    # Point lights with shadow rays (RL/ray.py:47-62), one [R] sweep per
+    # light instead of a [R*P] broadcast+reshape.
     if plights.count:
-        P = plights.count
-        self_id = scene.id[res.idx]                          # [R]
-        lpos = plights.position.astype(dtype)                # [P, 3]
-        to_light = lpos[None, :, :] - res.point[:, None, :]  # [R, P, 3]
-
-        shadow_o = jnp.broadcast_to(res.point[:, None, :], (R, P, 3)).reshape(-1, 3)
-        shadow_d = to_light.reshape(-1, 3)
-        shadow_sup = jnp.broadcast_to(self_id[:, None], (R, P)).reshape(-1)
+        self_id = take_small(scene.id, res.idx)              # [R]
+    for p in range(plights.count):
+        lpos = plights.position[p].astype(dtype)             # [3]
+        to_light = lpos[None, :] - res.point                 # [R, 3]
         if shadow_max_bounces == 0:
             # Fast path: with max_bounces=0 the recursive shadow trace
             # reduces exactly to one nearest-hit sweep — a mirror blocker
@@ -82,30 +84,31 @@ def terminal_rgb(scene: Scene, glights: GlobalLights, plights: PointLights,
             # itself.  So: lit ⇔ nearest non-suppressed hit is the light's
             # sphere and not glass-ruled.
             from ..core.intersect import nearest_hit
-            from ..core import vec as _vec
-            sh = nearest_hit(shadow_o, _vec.normalise_safe(shadow_d), scene,
-                             shadow_sup)
-            glass_rule = ((scene.transparent[sh.idx] == 1.0)
-                          & (scene.reflective[sh.idx] != 1.0))
+            sh = nearest_hit(res.point, vec.normalise_safe(to_light), scene,
+                             self_id)
+            glass_rule = ((take_small(scene.transparent, sh.idx) == 1.0)
+                          & (take_small(scene.reflective, sh.idx) != 1.0))
             terminus_id = jnp.where(sh.found & ~glass_rule,
-                                    scene.id[sh.idx], NO_ID)
+                                    take_small(scene.id, sh.idx), NO_ID)
         else:
-            sres = trace_whitted(scene, shadow_o, shadow_d,
+            sres = trace_whitted(scene, res.point, to_light,
                                  max_bounces=shadow_max_bounces,
-                                 suppress_id=shadow_sup)
-            terminus_id = jnp.where(sres.hit, scene.id[sres.idx], NO_ID)
-        lit = (terminus_id.reshape(R, P) == plights.id[None, :])
+                                 suppress_id=self_id)
+            terminus_id = jnp.where(sres.hit, take_small(scene.id, sres.idx),
+                                    NO_ID)
         # Skip a light whose id matches the shaded object (RL/ray.py:48);
         # also guards lanes where the shadow origin is garbage (miss lanes).
-        lit = lit & (self_id[:, None] != plights.id[None, :]) & res.hit[:, None]
+        lit = ((terminus_id == plights.id[p])
+               & (self_id != plights.id[p]) & res.hit)
 
-        ang = vec.angle_between(res.normal[:, None, :], to_light)       # [R, P]
+        ang = vec.angle_between(res.normal, to_light)        # [R]
         dist = vec.magnitude(to_light)
-        rel = incidence(ang, plights.max_angle.astype(dtype)) * plights.strength.astype(dtype)
+        rel = (incidence(ang, plights.max_angle[p].astype(dtype))
+               * plights.strength[p].astype(dtype))
         # func == -1: no distance term; func == 0: linear /distance (RL/light.py:33-37).
-        rel = jnp.where(plights.func[None, :] == 0, rel / dist, rel)
+        rel = jnp.where(plights.func[p] == 0, rel / dist, rel)
         rel = jnp.where(lit, rel, 0.0)
-        illum = illum + jnp.sum(rel[..., None] * plights.colour.astype(dtype)[None], axis=1)
+        illum = illum + rel[:, None] * plights.colour[p].astype(dtype)[None]
 
     # Colour.illuminate: per-channel round(albedo * light/255) (RL/colour.py:21-28),
     # then add the background (RL/ray.py:65).

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core import vec
-from ..core.intersect import NO_SUPPRESS, nearest_hit, single_sphere_exit
+from ..core.intersect import (NO_SUPPRESS, nearest_hit,
+                              single_sphere_exit, take_small)
 from ..scene.types import Scene
 
 # Status codes for each ray lane.
@@ -184,9 +185,10 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         status = jnp.where(fail, jnp.where(fb_valid, DONE_HIT, DONE_NONE), status)
 
         live = active & ~fail
-        mirror = (live & is_mirror[hit.idx]) if enable_mirror else zero_lanes
-        glass = ((live & ~mirror & is_glass[hit.idx]) if enable_glass
-                 else zero_lanes)
+        mirror = ((live & take_small(is_mirror, hit.idx))
+                  if enable_mirror else zero_lanes)
+        glass = ((live & ~mirror & take_small(is_glass, hit.idx))
+                 if enable_glass else zero_lanes)
         terminal = live & ~mirror & ~glass
 
         # Terminal: record the intersection (bounces/through as of this level,
@@ -215,8 +217,10 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         if enable_glass:
             def do_walk(_):
                 return _refract_walk(
-                    d, hit.normal, hit.point, scene.centre[hit.idx],
-                    scene.radius[hit.idx], scene.ior[hit.idx], dtype,
+                    d, hit.normal, hit.point,
+                    take_small(scene.centre, hit.idx),
+                    take_small(scene.radius, hit.idx),
+                    take_small(scene.ior, hit.idx), dtype,
                     relevant=glass)
 
             def no_walk(_):
@@ -245,7 +249,8 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                       jnp.where(glass[:, None], exit_point, o))
         d = jnp.where(mirror[:, None], refl_d,
                       jnp.where(glass[:, None], exit_dir, d))
-        suppress_id = jnp.where(cont, scene.id[hit.idx], suppress_id)
+        suppress_id = jnp.where(cont, take_small(scene.id, hit.idx),
+                                suppress_id)
         bounces = jnp.where(cont, bounces + 1, bounces)
         through = jnp.where(glass, through + 1, through)
 
