@@ -64,6 +64,29 @@ class PathStats:
     fb_used: jnp.ndarray
 
 
+def _direct_lighting(scene, hit, emissive_mask, dtype):
+    """Per-level direct term (complex.py:333-348): Σ over emissive spheres
+    of ``trunc(0.3·max(0,cosθ)/d² · colour)``, skipping the hit sphere —
+    unrolled per sphere in scalar components (see nearest_hit's layout
+    note; the trunc makes each term integer-valued so summation order is
+    exact)."""
+    px, py, pz = hit.point[..., 0], hit.point[..., 1], hit.point[..., 2]
+    nx, ny, nz = hit.normal[..., 0], hit.normal[..., 1], hit.normal[..., 2]
+    direct = jnp.zeros(hit.point.shape[:-1] + (3,), dtype)
+    for s in range(scene.centre.shape[0]):
+        cx, cy, cz = scene.centre[s, 0], scene.centre[s, 1], scene.centre[s, 2]
+        tx, ty, tz = cx - px, cy - py, cz - pz
+        d2 = tx * tx + ty * ty + tz * tz
+        dist = jnp.sqrt(d2)
+        den = jnp.maximum(dist, 1e-20)              # normalise_safe semantics
+        cosang = (tx / den) * nx + (ty / den) * ny + (tz / den) * nz
+        w = jnp.maximum(cosang, 0.0) / jnp.maximum(dist * dist, 1e-30) * 0.3
+        w = jnp.where(emissive_mask[s] & (hit.idx != s), w, 0.0)
+        direct = direct + jnp.trunc(w[..., None]
+                                    * scene.colour[s].astype(dtype)[None])
+    return direct
+
+
 def make_observation(point, normal, ray_dir, bounce_count, colour, scene,
                      idx, max_bounces):
     """22-D FB observation (FB/fb_vs_traditional_complex.py:446-467 /
@@ -156,16 +179,10 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
 
         # Direct lighting: sum over emissive spheres, skipping the hit sphere
         # itself (complex.py:333-348).  cos > 0 gate == max(0, cos) here.
-        to_light = scene.centre[None, :, :] - hit.point[:, None, :]   # [R, N, 3]
-        dist = vec.magnitude(to_light)
-        cosang = vec.dot(vec.normalise_safe(to_light), hit.normal[:, None, :])
-        w = jnp.maximum(cosang, 0.0) / jnp.maximum(dist * dist, 1e-30) * 0.3
-        lmask = emissive_mask[None, :] & (jnp.arange(scene.num_spheres)[None, :]
-                                          != hit.idx[:, None])
-        w = jnp.where(lmask, w, 0.0)
-        # int() truncation per light contribution before summing.
-        direct = jnp.sum(jnp.trunc(w[..., None] * scene.colour[None].astype(dtype)),
-                         axis=1)                                       # [R, 3]
+        # Unrolled per sphere (same layout rationale as nearest_hit); the
+        # per-light trunc makes every contribution integer-valued, so the
+        # sequential sum is exactly the reference's.
+        direct = _direct_lighting(scene, hit, emissive_mask, dtype)
 
         # Bounce direction.
         k_diff, k_fb = jax.random.split(subkey)
@@ -272,15 +289,7 @@ def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
     diffuse = found & ~emis & ~mirror
     cont = mirror | diffuse
 
-    to_light = scene.centre[None, :, :] - hit.point[:, None, :]
-    dist = vec.magnitude(to_light)
-    cosang = vec.dot(vec.normalise_safe(to_light), hit.normal[:, None, :])
-    w = jnp.maximum(cosang, 0.0) / jnp.maximum(dist * dist, 1e-30) * 0.3
-    lmask = emissive_mask[None, :] & (jnp.arange(scene.num_spheres)[None, :]
-                                      != hit.idx[:, None])
-    w = jnp.where(lmask, w, 0.0)
-    direct = jnp.sum(jnp.trunc(w[..., None] * scene.colour[None].astype(dtype)),
-                     axis=1)
+    direct = _direct_lighting(scene, hit, emissive_mask, dtype)
 
     k_diff, k_fb = jax.random.split(subkey)
     refl_d = vec.reflect(d, hit.normal)
