@@ -135,6 +135,7 @@ class FBResearchAgent:
 
         self._update_step = self._build_update_step()
         self._choose = self._build_choose()
+        self.guide_apply = self._build_guide_apply()
 
     # -- losses / update ---------------------------------------------------
     def _build_update_step(self):
@@ -214,6 +215,21 @@ class FBResearchAgent:
             return jnp.clip(mean + noise, -1.0, 1.0)
 
         return choose
+
+    def _build_guide_apply(self):
+        """Static ``(params, obs, proto) -> mean`` for guide-in-the-loop
+        trajectory generation (fb/trajectory.py): one function object per
+        agent so the jitted walk caches on it; params travel as traced
+        arguments (never closure constants)."""
+        enc, bwd = self.enc, self.bwd
+
+        def apply(params, obs, proto):
+            z = _encode_mean(enc, params.encoder, obs)
+            mean, _ = bwd.apply({"params": params.backward}, z,
+                                jnp.broadcast_to(proto, z.shape))
+            return mean
+
+        return apply
 
     # -- public API (inferred signatures) ----------------------------------
     def light_prototype(self) -> np.ndarray:

@@ -135,10 +135,11 @@ def light_hit_weights(scene: Scene, obs: np.ndarray, actions: np.ndarray,
                         < small_radius_below)
         return 1.0 + bonus * emis + bonus * small
 
+    shoot_j = jax.jit(shoot)          # one jit; chunks share the compile
     chunk = 1 << 19
     outs = []
     for i in range(0, obs.shape[0], chunk):
-        outs.append(np.asarray(jax.jit(shoot)(
+        outs.append(np.asarray(shoot_j(
             (jnp.asarray(obs[i:i + chunk]),
              jnp.asarray(actions[i:i + chunk])))))
     return np.concatenate(outs).astype(np.float32)
@@ -208,10 +209,16 @@ class DistilledGuide:
         self._student = StudentPolicy(hidden=self.hidden)
 
     def as_guide_fn(self, dtype="auto"):
+        """``dtype="auto"`` → bfloat16 on every backend.  Besides being the
+        TPU-native precision, quantising the *observations* to bf16 turns
+        out to matter behaviourally: it perturbs the aim direction by
+        ~0.4% per ray in a spatially-decorrelated way, which breaks up the
+        correlated hit/miss pattern a fully deterministic policy produces
+        across a pixel's spp samples — measured 800 → 1104 small-light
+        hits on the chandelier config, CPU, same weights.  Pass
+        ``dtype=None`` for exact-f32 inference (round-trip tests)."""
         if dtype == "auto":
-            dtype = (jnp.bfloat16
-                     if jax.default_backend() not in ("cpu", "gpu")
-                     else None)
+            dtype = jnp.bfloat16
         apply_fn = self._student.apply
 
         @jax.jit

@@ -46,8 +46,13 @@ class MultiSceneFBTrainer:
 
     def __init__(self, num_training_scenes: int = 100,
                  config: Optional[FBConfig] = None,
-                 output_dir: Optional[str] = None, seed: int = 0):
+                 output_dir: Optional[str] = None, seed: int = 0,
+                 guide_prob: float = 0.0):
         self.config = config or FBConfig()
+        # Guide-in-the-loop: fraction of walk steps that follow the
+        # current (noisy) policy instead of the cosine random walk, once
+        # the agent has a light prototype to condition on.
+        self.guide_prob = float(guide_prob)
         self.device = jax.devices()[0].platform
         self.agent = FBResearchAgent(self.config, seed=seed)
         self.scene_generator = templates
@@ -83,9 +88,19 @@ class MultiSceneFBTrainer:
         """Generate ``episodes`` random-walk trajectories on device, feed
         the agent, return the episode light-hit rate."""
         self._key, k = jax.random.split(self._key)
+        gkw = {}
+        if self.guide_prob > 0 and self.agent.light_memory:
+            import jax.numpy as jnp
+            gkw = dict(
+                guide_apply=self.agent.guide_apply,
+                guide_params=self.agent.params,
+                guide_proto=jnp.asarray(self.agent.light_prototype()),
+                guide_prob=self.guide_prob,
+                guide_noise=max(self.agent.noise_scale,
+                                self.agent.config.min_noise))
         batch = generate_trajectories(scene, k, num_walkers=episodes,
                                       max_steps=self.config.max_bounces,
-                                      start_bias=self.START_BIAS)
+                                      start_bias=self.START_BIAS, **gkw)
         valid = np.asarray(batch.valid).reshape(-1)
         if valid.any():
             flat = lambda a: np.asarray(a).reshape((-1,) + a.shape[2:])[valid]

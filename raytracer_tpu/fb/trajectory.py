@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.intersect import nearest_hit
+from ..core.intersect import nearest_hit, take_small
 from ..scene.types import Scene
 from ..trace import sampling
 from ..trace.path import make_observation
@@ -41,11 +41,15 @@ class TrajectoryBatch(NamedTuple):
     episode_hit: jnp.ndarray  # [W] bool — did the walker ever reach a light
 
 
-@partial(jax.jit, static_argnames=("num_walkers", "max_steps", "start_bias"))
+@partial(jax.jit, static_argnames=("num_walkers", "max_steps", "start_bias",
+                                   "guide_apply"))
 def generate_trajectories(scene: Scene, key: jax.Array, *,
                           num_walkers: int = 256,
                           max_steps: int = 8,
-                          start_bias: str = "uniform") -> TrajectoryBatch:
+                          start_bias: str = "uniform",
+                          guide_apply=None, guide_params=None,
+                          guide_proto=None, guide_prob=0.0,
+                          guide_noise=0.1) -> TrajectoryBatch:
     """``start_bias``:
 
     * ``"uniform"`` — the reference's ``random.choice(non_light)``
@@ -57,6 +61,15 @@ def generate_trajectories(scene: Scene, key: jax.Array, *,
       (non-ray-traced) experience, not this walk.
     * ``"small"`` — weight start spheres by 1/(1+r): walkers start on the
       scene-core objects, making real ray-traced training productive.
+
+    Guide-in-the-loop: pass ``guide_apply(params, obs, proto) -> mean`` (a
+    static callable; params/prototype travel as traced ARGUMENTS so big
+    policy weights never inline as XLA constants), plus ``guide_prob``/
+    ``guide_noise``.  Each step, each walker follows the current policy's
+    noisy action with probability ``guide_prob`` instead of the cosine
+    random walk — the experience distribution then tracks the improving
+    policy (the off-policy data-collection loop the reference's random-walk
+    trainers lack).
     """
     W = num_walkers
     dtype = scene.centre.dtype
@@ -91,13 +104,26 @@ def generate_trajectories(scene: Scene, key: jax.Array, *,
 
         next_dir = sampling.cosine_weighted(k1, normal, "trainer")
         action = sampling.direction_to_action(next_dir, normal, "trainer")
+        if guide_apply is not None:
+            k2, kg_n, kg_u = jax.random.split(k2, 3)
+            g_mean = guide_apply(guide_params, obs, guide_proto)
+            g_action = jnp.clip(
+                g_mean + guide_noise * jax.random.normal(
+                    kg_n, g_mean.shape, g_mean.dtype), -1.0, 1.0)
+            g_dir = sampling.fb_action_to_direction(g_action, normal,
+                                                    "trainer")
+            use_g = jax.random.uniform(kg_u, (W,)) < guide_prob
+            action = jnp.where(use_g[:, None], g_action, action)
+            next_dir = jnp.where(use_g[:, None], g_dir, next_dir)
         o = point + normal * 0.001
-        hit = nearest_hit(o, next_dir, scene, scene.id[idx], by_abs=True)
+        hit = nearest_hit(o, next_dir, scene, take_small(scene.id, idx),
+                          by_abs=True)
 
-        hit_light = hit.found & emissive[hit.idx]
+        hit_light = hit.found & take_small(emissive, hit.idx)
         reward = jnp.where(hit_light, 1.0, 0.0)
         colour = jnp.where(hit_light[:, None],
-                           scene.colour[hit.idx].astype(dtype), 0.0)
+                           take_small(scene.colour, hit.idx).astype(dtype),
+                           0.0)
         next_obs = build_obs(hit.point, hit.normal, next_dir, 0.0, colour,
                              hit.idx)
         # bounce feature of next_obs is bounce+1 (column 16 = (b+1)/max).
