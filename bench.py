@@ -131,6 +131,35 @@ def main():
         log(f"fb bench failed: {e!r}")
         fb_rps = 0.0
 
+    # --- FB-guided with the distilled deployment guide ---------------------
+    # The shipped answer to the reference's 6.7x FB slowdown: a 64-wide
+    # student policy distilled from the trained agent (fb/distill.py) whose
+    # per-level cost is ~noise next to the trace itself.
+    try:
+        from raytracer_tpu.fb.distill import DistilledGuide
+        dist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "models", "fb_chandelier_distilled.npz")
+        if os.path.exists(dist_path):
+            dguide = DistilledGuide.load(dist_path).as_guide_fn()
+
+            def run_fbd(k=key):
+                return render_path(scene, k, width=W, height=H, spp=SPP,
+                                   max_bounces=MB,
+                                   camera_position=p["camera_position"],
+                                   mirror_threshold=0.9, guide_fn=dguide,
+                                   fb_prob=1.0, impl="stepwise")
+
+            ddt, (dimg, dstats) = time_steady(run_fbd)
+            d_rps = int(dstats.total_rays) / ddt
+            log(f"fb-distilled: {ddt*1e3:.1f} ms/frame, "
+                f"{int(dstats.total_rays):,} rays, {d_rps/1e6:.2f} Mrays/s, "
+                f"fb_used={int(dstats.fb_used):,}")
+            extra["chandelier_fb_distilled_rays_per_sec"] = round(d_rps, 1)
+            extra["fb_distilled_vs_traditional_speedup"] = round(
+                d_rps / trad_rps, 3)
+    except Exception as e:                                  # pragma: no cover
+        log(f"fb-distilled bench failed: {e!r}")
+
     # --- secondary: 800x600 chandelier whitted frame (north star <50 ms) -
     try:
         from raytracer_tpu.render.camera import perspective_rays

@@ -155,7 +155,9 @@ def cmd_compare(args, which):
     from .compare.harness import chandelier_comparison, complex_comparison
     fn = chandelier_comparison if which == "chandelier" else complex_comparison
     stats = fn(model_path=args.model, width=args.width, height=args.height,
-               samples_per_pixel=args.spp, max_bounces=args.bounces)
+               samples_per_pixel=args.spp, max_bounces=args.bounces,
+               fb_samples_per_pixel=args.fb_spp, out_dir=args.out,
+               timing_iters=args.timing_iters)
     print(json.dumps(stats["comparison"], indent=2))
 
 
@@ -216,7 +218,25 @@ def cmd_rl_pipeline(args):
                      indent=2))
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: first-ever compiles of the traced
+    render programs take minutes through the axon remote-compile relay;
+    cached reruns start in seconds (same policy as bench.py)."""
+    import os
+
+    import jax
+    cache = os.environ.get("RAYTRACER_TPU_COMP_CACHE",
+                           os.path.expanduser("~/.cache/jax_comp"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     p = argparse.ArgumentParser(prog="raytracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -262,6 +282,11 @@ def main(argv=None):
         c.add_argument("--height", type=int, default=100)
         c.add_argument("--spp", type=int, default=8)
         c.add_argument("--bounces", type=int, default=8)
+        c.add_argument("--fb-spp", type=int, default=None,
+                       help="matched-signal mode: FB samples per pixel")
+        c.add_argument("--out", default=None, help="output directory")
+        c.add_argument("--timing-iters", type=int, default=1,
+                       help="best-of-N wall-clock (TPU relay variance)")
         c.set_defaults(fn=lambda a, w=name.split("-")[1]: cmd_compare(a, w))
 
     e = sub.add_parser("experiment")

@@ -44,7 +44,9 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
                    fb_mirror_threshold: float = 0.9,
                    out_dir: Optional[str] = None, scene_name: str = "scene",
                    seed: int = 0, save_png: bool = True,
-                   warmup: bool = True, impl: str = "stepwise") -> dict:
+                   warmup: bool = True, impl: str = "stepwise",
+                   timing_iters: int = 1,
+                   fb_samples_per_pixel: Optional[int] = None) -> dict:
     """Run the two renders and write artifacts.  Returns the stats dict.
 
     ``traditional_mirror_threshold`` defaults to the chandelier script's
@@ -57,6 +59,18 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
     wall-clock is the steady-state frame time, not shape compilation (the
     honest TPU number: compiles are one-time per shape and persistently
     cached; the reference's CPU timings had no compile either).
+
+    ``timing_iters > 1`` records best-of-N wall-clock for each side (the
+    tunneled TPU shows up to 3x run-to-run relay variance; the minimum is
+    the honest hardware number — same policy as bench.py).
+
+    ``fb_samples_per_pixel`` (default: same as traditional) enables the
+    *matched-signal* mode: because the guided sampler finds light paths at
+    a higher rate per ray, it can spend fewer samples per pixel and still
+    record at least the traditional renderer's light-hit signal — turning
+    the hit-rate advantage into a wall-clock advantage at equal-or-better
+    signal.  The statistics.json schema is unchanged; both spp values are
+    recorded in the per-renderer dicts.
     """
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     out = Path(out_dir or f"./{scene_name}_comparison_{timestamp}")
@@ -72,6 +86,8 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
         guide = agent.as_guide_fn() if agent.loaded else None
         fb_prob = 1.0 if agent.loaded else 0.0
 
+    fb_spp = (samples_per_pixel if fb_samples_per_pixel is None
+              else fb_samples_per_pixel)
     key = jax.random.key(seed)
     k1, k2 = jax.random.split(key)
 
@@ -85,7 +101,7 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
         # Falls back to traditional sampling with fb_prob=0 when no model,
         # matching WorkingFBRenderer's fallback.
         return render_path(
-            scene, k, width=width, height=height, spp=samples_per_pixel,
+            scene, k, width=width, height=height, spp=fb_spp,
             max_bounces=max_bounces, camera_position=camera_position,
             mirror_threshold=fb_mirror_threshold, guide_fn=guide,
             fb_prob=fb_prob, impl=impl)
@@ -94,21 +110,24 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
         jax.block_until_ready(run_trad(k1)[0])
         jax.block_until_ready(run_fb(k2)[0])
 
-    # Traditional.
-    t0 = time.time()
-    trad_img, trad_stats = run_trad(k1)
-    jax.block_until_ready(trad_img)
-    trad_time = time.time() - t0
+    def timed(run, k):
+        best, img, stats = float("inf"), None, None
+        for _ in range(max(1, timing_iters)):
+            t0 = time.time()
+            img, stats = run(k)
+            jax.block_until_ready(img)
+            best = min(best, time.time() - t0)
+        return img, stats, best
 
-    t0 = time.time()
-    fb_img, fb_stats = run_fb(k2)
-    jax.block_until_ready(fb_img)
-    fb_time = time.time() - t0
+    trad_img, trad_stats, trad_time = timed(run_trad, k1)
+    fb_img, fb_stats, fb_time = timed(run_fb, k2)
 
     trad_np = np.asarray(trad_img)
     fb_np = np.asarray(fb_img)
     td = _stats_dict(trad_stats, trad_time)
+    td["samples_per_pixel"] = samples_per_pixel
     fd = _stats_dict(fb_stats, fb_time)
+    fd["samples_per_pixel"] = fb_spp
     fd["fb_used"] = int(fb_stats.fb_used)
     fd["fb_success"] = int(fb_stats.fb_used)
 

@@ -1,0 +1,180 @@
+"""Provenance driver for the shipped models in ``models/``.
+
+Every checkpoint we ship is produced by a subcommand here, so the exact
+recipe is reproducible:
+
+    python scripts/ship_models.py train-chandelier [--scenes 160] [--steps 200]
+    python scripts/ship_models.py train-complex    [--scenes 100] [--steps 150]
+    python scripts/ship_models.py distill  --scene chandelier \
+        --teacher models/fb_chandelier_trained.npz \
+        --out models/fb_chandelier_distilled.npz [--hidden 128 128] ...
+    python scripts/ship_models.py eval --scene chandelier \
+        --model models/fb_chandelier_distilled.npz [--spp 4] [--size 100x50]
+
+Training runs the FB method exactly as the package trainers define it
+(guide-in-the-loop random walks + hindsight relabelling, fb/trainer.py);
+this script only sequences them and pins seeds/output paths.  Runs on CPU
+by default (training is small-network bound; the TPU is left free for
+rendering benchmarks) — pass --tpu to use the default backend.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def _force_cpu(args):
+    if not args.tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_train_chandelier(args):
+    _force_cpu(args)
+    from raytracer_tpu.fb.trainer import ChandelierOnlyTrainer
+
+    tr = ChandelierOnlyTrainer(num_training_scenes=args.scenes,
+                               seed=args.seed,
+                               output_dir=args.workdir,
+                               guide_prob=0.0)
+    # Guide-in-the-loop curriculum: random-walk exploration until the agent
+    # has a light prototype and a useful policy, then ramp the fraction of
+    # policy-driven steps so experience tracks the improving policy.
+    chunks = [(args.scenes // 4, 0.0), (args.scenes // 4, 0.25),
+              (args.scenes // 2, args.guide_prob)]
+    done = 0
+    for n, gp in chunks:
+        tr.guide_prob = gp
+        tr.num_training_scenes = n
+        tr.run_training(num_scenes=n, scenes_per_batch=20,
+                        training_steps_per_scene=args.steps)
+        done += n
+        print(f"[train-chandelier] {done} scenes done (guide_prob={gp}), "
+              f"noise={tr.agent.noise_scale:.4f}", flush=True)
+    out = args.out or "models/fb_chandelier_trained.npz"
+    tr.agent.save(out)
+    held = tr.test_on_chandelier(num_tests=500)
+    print(json.dumps(held, indent=2))
+    print(f"saved teacher → {out}")
+
+
+def cmd_train_complex(args):
+    _force_cpu(args)
+    from raytracer_tpu.fb.trainer import RayTracedComplexTrainer
+
+    tr = RayTracedComplexTrainer(num_training_scenes=args.scenes,
+                                 seed=args.seed, output_dir=args.workdir,
+                                 guide_prob=0.0)
+    chunks = [(args.scenes // 4, 0.0), (args.scenes // 4, 0.25),
+              (args.scenes // 2, args.guide_prob)]
+    for n, gp in chunks:
+        tr.guide_prob = gp
+        tr.run_training(num_scenes=n, scenes_per_batch=20,
+                        training_steps_per_scene=args.steps)
+        print(f"[train-complex] +{n} scenes (guide_prob={gp})", flush=True)
+    out = args.out or "models/fb_complex_trained.npz"
+    tr.agent.save(out)
+    print(json.dumps(tr.test_on_complex(num_tests=500), indent=2))
+    print(f"saved teacher → {out}")
+
+
+def _scene_setup(which: str):
+    if which == "chandelier":
+        from raytracer_tpu.scene.library import chandelier_scene
+        scene, _, _, p = chandelier_scene()
+        return scene, p["camera_position"]
+    from raytracer_tpu.scene.complex import (create_camera_for_scene,
+                                             create_complex_scene)
+    scene, _, _ = create_complex_scene()
+    return scene, create_camera_for_scene()
+
+
+def cmd_distill(args):
+    _force_cpu(args)
+    from raytracer_tpu.fb.distill import distill_agent
+    from raytracer_tpu.fb.inference import TrainedFBAgent, small_light_indices
+
+    scene, cam = _scene_setup(args.scene)
+    agent = TrainedFBAgent(args.teacher, scene, small_light_indices(scene),
+                           cam)
+    assert agent.loaded, f"teacher failed to load: {args.teacher}"
+    guide, res = distill_agent(
+        agent, scene, seed=args.seed, camera_position=cam,
+        frames=args.frames, epochs=args.epochs,
+        hidden=tuple(args.hidden), hit_weight_bonus=args.bonus)
+    guide.save(args.out)
+    print(f"distilled {args.teacher} → {args.out}: "
+          f"n_obs={res.n_obs:,} final_loss={res.final_loss:.2e} "
+          f"hidden={tuple(args.hidden)}")
+
+
+def cmd_eval(args):
+    _force_cpu(args)
+    from raytracer_tpu.compare.harness import (chandelier_comparison,
+                                               complex_comparison)
+    fn = (chandelier_comparison if args.scene == "chandelier"
+          else complex_comparison)
+    w, h = (int(x) for x in args.size.split("x"))
+    stats = fn(model_path=args.model, width=w, height=h,
+               samples_per_pixel=args.spp, max_bounces=args.bounces,
+               seed=args.seed, save_png=False,
+               fb_samples_per_pixel=args.fb_spp,
+               out_dir=args.out or "/tmp/_ship_eval")
+    print(json.dumps({"traditional": stats["traditional"],
+                      "fb": stats["fb"],
+                      "comparison": stats["comparison"]}, indent=2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name, fn in (("train-chandelier", cmd_train_chandelier),
+                     ("train-complex", cmd_train_complex)):
+        c = sub.add_parser(name)
+        c.add_argument("--scenes", type=int, default=160)
+        c.add_argument("--steps", type=int, default=200)
+        c.add_argument("--guide-prob", type=float, default=0.5)
+        c.add_argument("--seed", type=int, default=0)
+        c.add_argument("--out", default=None)
+        c.add_argument("--workdir", default="/tmp/fb_ship_training")
+        c.add_argument("--tpu", action="store_true")
+        c.set_defaults(fn=fn)
+
+    d = sub.add_parser("distill")
+    d.add_argument("--scene", choices=["chandelier", "complex"],
+                   required=True)
+    d.add_argument("--teacher", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
+    d.add_argument("--frames", type=int, default=6)
+    d.add_argument("--epochs", type=int, default=40)
+    d.add_argument("--bonus", type=float, default=9.0)
+    d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--tpu", action="store_true")
+    d.set_defaults(fn=cmd_distill)
+
+    e = sub.add_parser("eval")
+    e.add_argument("--scene", choices=["chandelier", "complex"],
+                   required=True)
+    e.add_argument("--model", required=True)
+    e.add_argument("--size", default="100x50")
+    e.add_argument("--spp", type=int, default=4)
+    e.add_argument("--fb-spp", type=int, default=None)
+    e.add_argument("--bounces", type=int, default=8)
+    e.add_argument("--seed", type=int, default=5)
+    e.add_argument("--out", default=None)
+    e.add_argument("--tpu", action="store_true")
+    e.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
