@@ -135,6 +135,7 @@ def main():
     # The shipped answer to the reference's 6.7x FB slowdown: a 64-wide
     # student policy distilled from the trained agent (fb/distill.py) whose
     # per-level cost is ~noise next to the trace itself.
+    dguide = None
     try:
         from raytracer_tpu.fb.distill import DistilledGuide
         dist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -159,6 +160,39 @@ def main():
                 d_rps / trad_rps, 3)
     except Exception as e:                                  # pragma: no cover
         log(f"fb-distilled bench failed: {e!r}")
+
+    # --- at-scale path tracing: 800x600 @ 8spp (the reference's own
+    # traditional-render size, traditional_renders/*_stats.txt) ------------
+    # At 3.8M camera samples the per-level dispatch overhead amortizes out;
+    # this is the deployment-shape number (the 200x100 headline keeps the
+    # reference-artifact config for comparability).
+    try:
+        def run_trad_big(k=key):
+            return render_path(scene, k, width=800, height=600, spp=8,
+                               max_bounces=MB,
+                               camera_position=p["camera_position"],
+                               mirror_threshold=0.0, impl="stepwise")
+
+        bdt, (bimg, bstats) = time_steady(run_trad_big, iters=3)
+        b_rps = int(bstats.total_rays) / bdt
+        log(f"traditional 800x600@8spp: {bdt*1e3:.1f} ms/frame, "
+            f"{int(bstats.total_rays):,} rays, {b_rps/1e6:.2f} Mrays/s")
+        extra["path_800x600_traditional_rays_per_sec"] = round(b_rps, 1)
+        if dguide is not None:
+            def run_fbd_big(k=key):
+                return render_path(scene, k, width=800, height=600, spp=8,
+                                   max_bounces=MB,
+                                   camera_position=p["camera_position"],
+                                   mirror_threshold=0.9, guide_fn=dguide,
+                                   fb_prob=1.0, impl="stepwise")
+
+            fbdt, (fbimg, fbstats) = time_steady(run_fbd_big, iters=3)
+            fb_b_rps = int(fbstats.total_rays) / fbdt
+            log(f"fb-distilled 800x600@8spp: {fbdt*1e3:.1f} ms/frame, "
+                f"{int(fbstats.total_rays):,} rays, {fb_b_rps/1e6:.2f} Mrays/s")
+            extra["path_800x600_fb_distilled_rays_per_sec"] = round(fb_b_rps, 1)
+    except Exception as e:                                  # pragma: no cover
+        log(f"800x600 path bench failed: {e!r}")
 
     # --- secondary: 800x600 chandelier whitted frame (north star <50 ms) -
     try:

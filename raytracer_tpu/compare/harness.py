@@ -37,6 +37,20 @@ def _stats_dict(stats, render_time: float) -> dict:
     return d
 
 
+def _is_distilled(model_path) -> bool:
+    """A distilled deployment policy (fb.distill.DistilledGuide.save) is a
+    flat npz with a ``__hidden__`` header; full FB checkpoints carry
+    ``__meta__`` instead (utils/checkpoint.save_fb)."""
+    p = str(model_path)
+    if not p.endswith(".npz"):
+        return False
+    try:
+        with np.load(p) as z:
+            return "__hidden__" in z.files
+    except Exception:
+        return False
+
+
 def run_comparison(scene: Scene, *, camera_position, width: int = 200,
                    height: int = 100, samples_per_pixel: int = 8,
                    max_bounces: int = 8, model_path: Optional[str] = None,
@@ -77,7 +91,7 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
     out.mkdir(parents=True, exist_ok=True)
 
     idx = small_light_indices(scene)
-    if model_path is not None and str(model_path).endswith("_distilled.npz"):
+    if model_path is not None and _is_distilled(model_path):
         from ..fb.distill import DistilledGuide
         guide = DistilledGuide.load(str(model_path)).as_guide_fn()
         fb_prob = 1.0

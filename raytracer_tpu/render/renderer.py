@@ -24,7 +24,7 @@ import numpy as np
 
 from ..scene.types import GlobalLights, PointLights, Scene
 from ..trace.shade import terminal_rgb
-from ..trace.whitted import trace_whitted
+from ..trace.whitted import trace_whitted, trace_whitted_compact
 
 
 def material_flags(scene: Scene):
@@ -56,6 +56,33 @@ def _shade_flat(scene: Scene, glights: GlobalLights, plights: PointLights,
     return jnp.where(res.hit[:, None], rgb, miss[None, :])
 
 
+@jax.jit
+def _shade_result(scene: Scene, glights: GlobalLights, plights: PointLights,
+                  res, background, miss) -> jnp.ndarray:
+    rgb = terminal_rgb(scene, glights, plights, res, background)
+    return jnp.where(res.hit[:, None], rgb, miss[None, :])
+
+
+def _shade_flat_compact(scene: Scene, glights, plights, origins, dirs, *,
+                        max_bounces: int, background, miss_colour,
+                        enable_glass: bool, enable_mirror: bool,
+                        use_pallas: bool) -> jnp.ndarray:
+    """Compacted-wavefront variant of ``_shade_flat`` (same image up to
+    XLA codegen rounding, ~1e-5 rel):
+    the trace runs level-by-level with live-lane compaction — level 0 is
+    the only full-wavefront sweep — then one jitted shade pass.  Host-driven,
+    so only usable eagerly; ``use_pallas`` is accepted for signature parity
+    (the compact levels use the XLA sweep)."""
+    dtype = origins.dtype
+    bg = jnp.asarray(background, dtype)
+    miss = bg if miss_colour is None else jnp.asarray(miss_colour, dtype)
+    res = trace_whitted_compact(scene, origins, dirs,
+                                max_bounces=max_bounces,
+                                enable_glass=enable_glass,
+                                enable_mirror=enable_mirror)
+    return _shade_result(scene, glights, plights, res, bg, miss)
+
+
 @partial(jax.jit, static_argnames=("max_bounces", "height", "width", "mode",
                                    "enable_glass", "enable_mirror",
                                    "use_pallas"))
@@ -83,7 +110,8 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
                    background=(0.0, 0.0, 0.0),
                    miss_colour: Optional[tuple] = None,
                    mode: str = "unit", use_pallas: bool = False,
-                   chunk_rays: Optional[int] = None) -> jnp.ndarray:
+                   chunk_rays: Optional[int] = None,
+                   impl: str = "auto") -> jnp.ndarray:
     """Render an ``[H, W, 3]`` frame.  ``miss_colour`` defaults to
     ``background`` (Planets notebooks use the background for misses;
     Marbles 4 substitutes a sky colour).
@@ -95,11 +123,22 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
     compiled program (last chunk edge-padded to size): mega frames whose
     whole-wavefront live set exceeds HBM (e.g. planets2 2001×2001 ×
     10-bounce refract walk) render at full fidelity, bounded-memory.
+
+    ``impl``: ``"fused"`` = one XLA program (the only option under ``jit``,
+    and the default); ``"compact"`` = host-driven live-lane compaction
+    between recursion levels (same image up to XLA codegen rounding).
+    Compaction only pays on hosts with a low-latency device link: measured
+    on the tunneled TPU here, the per-level host round-trips cost 4-8x
+    more than the dead-lane resweeps they save (800x600 whitted 132.5 ms
+    compact vs 34.9 ms fused; marbles4 801x801 358.7 vs 42.6 ms), so
+    ``"auto"`` resolves to fused.
     """
     try:
         enable_glass, enable_mirror = material_flags(scene)
+        concrete = True
     except Exception:       # traced scene (called under jit): keep both on
         enable_glass = enable_mirror = True
+        concrete = False
     background = tuple(np.asarray(background, float).tolist())
     miss_colour = (None if miss_colour is None else
                    tuple(np.asarray(miss_colour, float).tolist()))
@@ -107,7 +146,22 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
               miss_colour=miss_colour, enable_glass=enable_glass,
               enable_mirror=enable_mirror, use_pallas=use_pallas)
     n = origins.shape[0]
+    if impl == "auto":
+        impl = "fused"
+    if impl == "compact" and (not concrete
+                              or isinstance(origins, jax.core.Tracer)):
+        impl = "fused"          # compaction needs eager, concrete inputs
+    shade = _shade_flat_compact if impl == "compact" else _shade_flat
+
     if chunk_rays is None or chunk_rays >= n:
+        if impl == "compact":
+            img = shade(scene, glights, plights, origins, dirs,
+                        **kw).reshape(height, width, 3)
+            if mode == "unit":
+                return jnp.minimum(1.0, img / 255.0)
+            if mode == "raw":
+                return img
+            raise ValueError(f"unknown mode {mode!r}")
         return _render_whitted(scene, glights, plights, origins, dirs,
                                height, width, mode=mode, **kw)
     parts = []
@@ -116,7 +170,7 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
         if o.shape[0] < chunk_rays:                   # pad → same program
             pad = [(0, chunk_rays - o.shape[0]), (0, 0)]
             o, d = jnp.pad(o, pad, mode="edge"), jnp.pad(d, pad, mode="edge")
-        parts.append(_shade_flat(scene, glights, plights, o, d, **kw))
+        parts.append(shade(scene, glights, plights, o, d, **kw))
     img = jnp.concatenate(parts)[:n].reshape(height, width, 3)
     if mode == "unit":
         return jnp.minimum(1.0, img / 255.0)

@@ -273,3 +273,183 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     return TraceResult(hit=status == DONE_HIT, idx=res_idx, point=res_point,
                        normal=res_normal, t=res_t, bounces=res_bounces,
                        through=res_through)
+
+
+# ---------------------------------------------------------------------------
+# Compacted stepwise tracer.
+#
+# The fused loop above sweeps the FULL wavefront at every level, but after
+# level 0 only the mirror/glass lanes continue — in typical scenes a few
+# percent (the chandelier's 3 decorative spheres).  Here the host loop
+# compacts the live lanes into the smallest power-of-two bucket after each
+# level, so level 0 costs one full sweep and the deeper levels run on tiny
+# wavefronts.  CAVEAT: this trades dead-lane arithmetic for per-level host
+# round-trips, which only pays on a low-latency device link — through this
+# environment's tunneled TPU it measures 4-8x SLOWER than fused (see
+# render_whitted's ``impl`` docstring), so it ships opt-in, never default.  Per-lane math is IDENTICAL to the fused body
+# (same op order); discrete outputs match exactly and float outputs match
+# to XLA codegen rounding (~1e-5 rel — XLA may contract/reassociate
+# differently across wavefront shapes), pinned by
+# tests/test_whitted_parity.py::test_compact_matches_fused.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_bounces", "enable_glass",
+                                   "enable_mirror"))
+def _level_compact(scene: Scene, o, d, suppress_id, bounces, through,
+                   fb_valid, fb_idx, fb_point, fb_normal, fb_t, fb_bounces,
+                   fb_through, valid, *, max_bounces: int,
+                   enable_glass: bool, enable_mirror: bool):
+    """One recursion level on a compacted live wavefront.  Mirrors the
+    fused ``level`` body lane-for-lane; ``valid`` masks bucket padding."""
+    dtype = o.dtype
+    zero_mask = jnp.zeros_like(scene.reflective, bool)
+    is_mirror = (scene.reflective == 1.0) if enable_mirror else zero_mask
+    is_glass = (scene.transparent == 1.0) if enable_glass else zero_mask
+    zero_lanes = jnp.zeros_like(valid)
+
+    hit = nearest_hit(o, d, scene, suppress_id)
+    over_budget = bounces > max_bounces
+    fail = valid & (~hit.found | over_budget)
+    live = valid & ~fail
+    mirror = ((live & take_small(is_mirror, hit.idx))
+              if enable_mirror else zero_lanes)
+    glass = ((live & ~mirror & take_small(is_glass, hit.idx))
+             if enable_glass else zero_lanes)
+    terminal = live & ~mirror & ~glass
+
+    refl_d = vec.reflect(d, hit.normal)
+
+    if enable_glass:
+        def do_walk(_):
+            return _refract_walk(
+                d, hit.normal, hit.point,
+                take_small(scene.centre, hit.idx),
+                take_small(scene.radius, hit.idx),
+                take_small(scene.ior, hit.idx), dtype, relevant=glass)
+
+        def no_walk(_):
+            return jnp.ones_like(glass), hit.point, d
+
+        ok, exit_point, exit_dir = jax.lax.cond(
+            jnp.any(glass), do_walk, no_walk, operand=None)
+    else:
+        ok = jnp.ones_like(glass)
+        exit_point, exit_dir = hit.point, d
+    trapped = glass & ~ok
+    glass_ok = glass & ok
+
+    # Result for lanes finishing at this level.  fail/trapped use the
+    # fallback recorded at an EARLIER level (a glass lane never updates its
+    # own fallback this level, so entry-time fb_* is correct for both).
+    use_fb = (fail | trapped) & fb_valid
+    done_hit = use_fb | terminal
+    out_idx = jnp.where(use_fb, fb_idx, hit.idx)
+    out_point = jnp.where(use_fb[:, None], fb_point, hit.point)
+    out_normal = jnp.where(use_fb[:, None], fb_normal, hit.normal)
+    out_t = jnp.where(use_fb, fb_t, hit.t)
+    out_bounces = jnp.where(use_fb, fb_bounces, bounces)
+    out_through = jnp.where(use_fb, fb_through, through)
+
+    # Mirror lanes update their fallback and continue.
+    fb_valid = fb_valid | mirror
+    fb_idx = jnp.where(mirror, hit.idx, fb_idx)
+    fb_point = jnp.where(mirror[:, None], hit.point, fb_point)
+    fb_normal = jnp.where(mirror[:, None], hit.normal, fb_normal)
+    fb_t = jnp.where(mirror, hit.t, fb_t)
+    fb_bounces = jnp.where(mirror, bounces, fb_bounces)
+    fb_through = jnp.where(mirror, through, fb_through)
+
+    cont = mirror | glass_ok
+    o = jnp.where(mirror[:, None], hit.point,
+                  jnp.where(glass_ok[:, None], exit_point, o))
+    d = jnp.where(mirror[:, None], refl_d,
+                  jnp.where(glass_ok[:, None], exit_dir, d))
+    suppress_id = jnp.where(cont, take_small(scene.id, hit.idx), suppress_id)
+    bounces = jnp.where(cont, bounces + 1, bounces)
+    through = jnp.where(glass_ok, through + 1, through)
+
+    return (done_hit, out_idx, out_point, out_normal, out_t, out_bounces,
+            out_through, cont, o, d, suppress_id, bounces, through,
+            fb_valid, fb_idx, fb_point, fb_normal, fb_t, fb_bounces,
+            fb_through, jnp.sum(cont))
+
+
+@partial(jax.jit, static_argnames=())
+def _scatter_done(done_hit, out_idx, out_point, out_normal, out_t,
+                  out_bounces, out_through, idx_map, R_sentinel,
+                  hitf, idxf, pointf, normalf, tf, bouncesf, throughf):
+    tgt = jnp.where(done_hit, idx_map, R_sentinel)
+    hitf = hitf.at[tgt].set(True, mode="drop")
+    idxf = idxf.at[tgt].set(out_idx, mode="drop")
+    pointf = pointf.at[tgt].set(out_point, mode="drop")
+    normalf = normalf.at[tgt].set(out_normal, mode="drop")
+    tf = tf.at[tgt].set(out_t, mode="drop")
+    bouncesf = bouncesf.at[tgt].set(out_bounces, mode="drop")
+    throughf = throughf.at[tgt].set(out_through, mode="drop")
+    return hitf, idxf, pointf, normalf, tf, bouncesf, throughf
+
+
+@partial(jax.jit, static_argnames=("bucket",))
+def _compact_live(cont, arrs, idx_map, *, bucket: int):
+    n = jnp.sum(cont)
+    sel = jnp.nonzero(cont, size=bucket, fill_value=0)[0]
+    valid = jnp.arange(bucket) < n
+    out = tuple(a[sel] for a in arrs)
+    return out, idx_map[sel], valid
+
+
+def trace_whitted_compact(scene: Scene, origins: jnp.ndarray,
+                          dirs: jnp.ndarray, max_bounces: int = 1,
+                          suppress_id: jnp.ndarray | None = None,
+                          bounces0: jnp.ndarray | None = None,
+                          through0: jnp.ndarray | None = None,
+                          enable_glass: bool = True,
+                          enable_mirror: bool = True,
+                          min_bucket: int = 1024) -> TraceResult:
+    """Equivalent to :func:`trace_whitted` (discrete fields exact, floats
+    to XLA rounding), with host-driven live-lane compaction between levels
+    (one host sync per level).  Not callable under ``jit`` — the bucket
+    size is data-dependent."""
+    dtype = origins.dtype
+    R = origins.shape[0]
+    d = vec.normalise_safe(dirs.astype(dtype))
+    o = origins
+
+    if suppress_id is None:
+        suppress_id = jnp.full((R,), NO_SUPPRESS, jnp.int32)
+    bounces = (jnp.zeros((R,), jnp.int32) if bounces0 is None
+               else bounces0.astype(jnp.int32))
+    through = (jnp.zeros((R,), jnp.int32) if through0 is None
+               else through0.astype(jnp.int32))
+
+    zero3 = jnp.zeros((R, 3), dtype)
+    zi = jnp.zeros((R,), jnp.int32)
+    zf = jnp.zeros((R,), dtype)
+    hitf = jnp.zeros((R,), bool)
+    idxf, pointf, normalf = zi, zero3, zero3
+    tf, bouncesf, throughf = zf, zi, zi
+
+    live = (o, d, suppress_id, bounces, through,
+            jnp.zeros((R,), bool), zi, zero3, zero3, zf, zi, zi)
+    idx_map = jnp.arange(R, dtype=jnp.int32)
+    valid = jnp.ones((R,), bool)
+
+    for _ in range(max_bounces + 2):
+        (done_hit, out_idx, out_point, out_normal, out_t, out_bounces,
+         out_through, cont, *new_live, n_cont) = _level_compact(
+            scene, *live, valid, max_bounces=max_bounces,
+            enable_glass=enable_glass, enable_mirror=enable_mirror)
+        (hitf, idxf, pointf, normalf, tf, bouncesf, throughf) = \
+            _scatter_done(done_hit, out_idx, out_point, out_normal, out_t,
+                          out_bounces, out_through, idx_map, R,
+                          hitf, idxf, pointf, normalf, tf, bouncesf,
+                          throughf)
+        n = int(n_cont)
+        if n == 0:
+            break
+        bucket = max(min_bucket, 1 << (max(n - 1, 1)).bit_length())
+        bucket = min(bucket, live[0].shape[0])
+        live, idx_map, valid = _compact_live(cont, tuple(new_live), idx_map,
+                                             bucket=bucket)
+    return TraceResult(hit=hitf, idx=idxf, point=pointf, normal=normalf,
+                       t=tf, bounces=bouncesf, through=throughf)

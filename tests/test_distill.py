@@ -48,8 +48,8 @@ def test_distill_roundtrip_and_fidelity():
     reason="shipped distilled model missing")
 def test_shipped_distilled_chandelier_improves_small_light_hits():
     """The distilled guide must keep the teacher's learned-sampling win
-    (measured 1.25× small-light hits at the full config on TPU while
-    matching traditional wall-clock)."""
+    (measured 2.11× small-light hits at the full config on TPU at 0.83×
+    wall-clock; 2.4-2.7× across seeds at this reduced config)."""
     from raytracer_tpu.compare.harness import chandelier_comparison
 
     stats = chandelier_comparison(
@@ -58,4 +58,22 @@ def test_shipped_distilled_chandelier_improves_small_light_hits():
         save_png=False, out_dir="/tmp/_distilled_chandelier_check")
     assert stats["fb"]["fb_used"] > 0
     imp = stats["comparison"]["small_light_improvement"]
-    assert imp > 1.05, f"distilled small-light improvement degraded: {imp}"
+    assert imp > 1.5, f"distilled small-light improvement degraded: {imp}"
+
+
+def test_matched_signal_mode_spends_fewer_samples():
+    """fb_samples_per_pixel: the guided render runs at reduced spp (the
+    matched-signal artifact mode) — both spp values are recorded and the
+    guided side spends proportionally fewer rays."""
+    from raytracer_tpu.compare.harness import chandelier_comparison
+
+    stats = chandelier_comparison(
+        model_path=str(MODELS / "fb_chandelier_distilled.npz"),
+        width=40, height=20, samples_per_pixel=4, max_bounces=4, seed=3,
+        save_png=False, fb_samples_per_pixel=2,
+        out_dir="/tmp/_matched_signal_check")
+    assert stats["traditional"]["samples_per_pixel"] == 4
+    assert stats["fb"]["samples_per_pixel"] == 2
+    # Half the samples → roughly half the rays (paths differ stochastically).
+    ratio = stats["fb"]["total_rays"] / stats["traditional"]["total_rays"]
+    assert 0.3 < ratio < 0.75, ratio

@@ -99,3 +99,56 @@ def test_planets2_parity():
 def test_marbles4_parity():
     # Glass n=2 (TIR-heavy), sky-colour misses, max_bounces=8.
     _compare(library.marbles4_scene, 30, 0.2 / 30.0)
+
+
+def test_compact_matches_fused():
+    """trace_whitted_compact matches the fused tracer on every library
+    scene: discrete fields (hit/idx/bounces/through) exactly, float fields
+    to XLA codegen rounding (the per-lane op ORDER is identical, but XLA
+    may contract/reassociate differently across wavefront shapes, ~1e-5
+    relative on t)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from raytracer_tpu.render.camera import grid_rays, perspective_rays
+    from raytracer_tpu.render.renderer import material_flags
+    from raytracer_tpu.scene import library
+    from raytracer_tpu.trace.whitted import (trace_whitted,
+                                             trace_whitted_compact)
+
+    for name, fn in (("true_original", library.true_original_scene),
+                     ("planets2", library.planets2_scene),
+                     ("marbles4", library.marbles4_scene),
+                     ("chandelier", library.chandelier_scene)):
+        out = fn()
+        scene, pr = out[0], out[-1]
+        if "ray_count" in pr:
+            o, d, h, w = grid_rays(pr["ray_count"], pr["ray_step"], 1,
+                                   origin=pr["camera_position"])
+        else:
+            o, d = perspective_rays(64, 48, fov=60,
+                                    origin=pr["camera_position"],
+                                    variant="fb")
+        eg, em = material_flags(scene)
+        mb = pr.get("max_bounces", 5)
+        a = trace_whitted(scene, o, d, max_bounces=mb, enable_glass=eg,
+                          enable_mirror=em)
+        b = trace_whitted_compact(scene, o, d, max_bounces=mb,
+                                  enable_glass=eg, enable_mirror=em,
+                                  min_bucket=256)
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit),
+                                      err_msg=name)
+        hit = np.asarray(a.hit)
+        for f in ("idx", "bounces", "through"):
+            av, bv = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+            np.testing.assert_array_equal(av[hit], bv[hit],
+                                          err_msg=f"{name}.{f}")
+        for f in ("t", "point", "normal"):
+            av, bv = np.asarray(getattr(a, f))[hit], np.asarray(getattr(b, f))[hit]
+            # Rounding compounds through deep mirror/refract chains, so a
+            # tiny tail of lanes drifts further; bound both the tail size
+            # and its magnitude.
+            close = np.isclose(av, bv, rtol=1e-4, atol=5e-5)
+            assert np.mean(close) > 0.999, f"{name}.{f}: {np.mean(close)}"
+            np.testing.assert_allclose(av, bv, rtol=1e-2, atol=1e-3,
+                                       err_msg=f"{name}.{f}")
