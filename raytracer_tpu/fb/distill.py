@@ -235,6 +235,10 @@ class DistilledGuide:
             return _forward(params, obs)
 
         guide._no_rejit = True
+        # The stepwise path tracer fuses this tiny MLP into its level
+        # kernel (trace/path.py _level_kernel_guided): params ride as jit
+        # arguments, the guide stops being a separate dispatch per level.
+        guide._fused_spec = (params, dtype)
         return guide
 
     # -- persistence (same flat-npz convention as utils/checkpoint) -------

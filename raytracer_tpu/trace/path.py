@@ -320,6 +320,49 @@ def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
             fb_u, hit.normal, stats)
 
 
+def _student_forward(params, obs, dtype):
+    """Inline forward of fb.distill.StudentPolicy (Dense/relu chain) —
+    numerically identical to DistilledGuide.as_guide_fn's flax apply in the
+    same dtype (cast params+obs, matmul+bias per layer, relu between,
+    f32 out).  Params ride as jit ARGUMENTS (never closed over: constant-
+    inlined weights SIGILL the TPU compiler on big nets and defeat the
+    compile cache on all nets)."""
+    x = obs if dtype is None else obs.astype(dtype)
+    n_layers = len(params)
+    for i in range(n_layers):
+        p = params[f"Dense_{i}"]
+        k, b = p["kernel"], p["bias"]
+        if dtype is not None:
+            k, b = k.astype(dtype), b.astype(dtype)
+        x = x @ k + b
+        if i < n_layers - 1:
+            x = jax.nn.relu(x)
+    return x.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
+                                   "use_pallas", "guide_dtype"))
+def _level_kernel_guided(scene: Scene, o, d, running, subkey, lvl,
+                         guide_params, fb_prob, *, max_bounces: int,
+                         mirror_threshold: float, use_pallas: bool = False,
+                         guide_dtype=jnp.bfloat16):
+    """One level with the distilled guide FUSED into the program: obs build
+    → student MLP → action → bounce direction all in one dispatch (the
+    separate-program guide costs 2 extra host→device dispatches per level,
+    which at small wavefronts through the tunneled TPU is most of the
+    guided-vs-traditional gap).  Same key schedule and bf16 guide math as
+    the unfused path."""
+    (o2, d2, running2, state, albedo, direct, obs, diffuse, fb_u,
+     normal, stats) = _level_kernel(
+        scene, o, d, running, subkey, lvl, max_bounces=max_bounces,
+        mirror_threshold=mirror_threshold, use_pallas=use_pallas,
+        want_obs=True)
+    action = _student_forward(guide_params, obs, guide_dtype)
+    use_fb = diffuse & (fb_u < fb_prob)
+    d2 = _apply_guide(action, normal, use_fb, d2, diffuse)
+    return (o2, d2, running2, state, albedo, direct, jnp.sum(use_fb), stats)
+
+
 @jax.jit
 def _apply_guide(action, normal, use_fb, d, cont):
     fb_d = sampling.fb_action_to_direction(jnp.clip(action, -1.0, 1.0),
@@ -373,7 +416,13 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
     o = origins
     running = jnp.ones((R,), bool)
     keys = jax.random.split(key, max_bounces)
-    guide = _jit_guide(guide_fn) if guide_fn is not None else None
+    fused_spec = (getattr(guide_fn, "_fused_spec", None)
+                  if guide_fn is not None else None)
+    guide = (_jit_guide(guide_fn)
+             if guide_fn is not None and fused_spec is None else None)
+    if fused_spec is not None:
+        g_params, g_dtype = fused_spec
+        fb_prob_arr = jnp.asarray(fb_prob, dtype)
 
     # No host syncs inside the loop: all counters stay on device and the
     # loop always runs max_bounces levels (inactive lanes are masked).
@@ -381,9 +430,21 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
     stats_dev = []
     fb_used_dev = []
     for k in range(max_bounces):
+        lvl = jnp.asarray(float(k), dtype)
+        if fused_spec is not None:
+            (o, d, running, state, albedo, direct, fb_used, stats) = \
+                _level_kernel_guided(
+                    scene, o, d, running, keys[k], lvl, g_params,
+                    fb_prob_arr, max_bounces=max_bounces,
+                    mirror_threshold=mirror_threshold,
+                    use_pallas=use_pallas, guide_dtype=g_dtype)
+            fb_used_dev.append(fb_used)
+            recs.append((state, albedo, direct))
+            stats_dev.append(stats)
+            continue
         (o, d, running, state, albedo, direct, obs, diffuse, fb_u,
          normal, stats) = _level_kernel(
-            scene, o, d, running, keys[k], jnp.asarray(float(k), dtype),
+            scene, o, d, running, keys[k], lvl,
             max_bounces=max_bounces, mirror_threshold=mirror_threshold,
             use_pallas=use_pallas, want_obs=guide is not None)
         if guide is not None:

@@ -77,3 +77,32 @@ def test_matched_signal_mode_spends_fewer_samples():
     # Half the samples → roughly half the rays (paths differ stochastically).
     ratio = stats["fb"]["total_rays"] / stats["traditional"]["total_rays"]
     assert 0.3 < ratio < 0.75, ratio
+
+
+@pytest.mark.skipif(
+    not (MODELS / "fb_chandelier_distilled.npz").exists(),
+    reason="shipped distilled model missing")
+def test_fused_guide_kernel_matches_separate_program():
+    """The distilled guide fused into the level kernel
+    (trace/path.py::_level_kernel_guided) is bit-identical to the
+    separate-program guide path (same key schedule, same bf16 math)."""
+    import jax
+    import numpy as np
+    from raytracer_tpu.fb.distill import DistilledGuide
+    from raytracer_tpu.render.path_renderer import render_path
+    from raytracer_tpu.scene import library
+
+    scene, _, _, p = library.chandelier_scene()
+    g = DistilledGuide.load(str(MODELS / "fb_chandelier_distilled.npz"))
+    fused = g.as_guide_fn()
+    plain = g.as_guide_fn()
+    del plain._fused_spec                 # force the separate-program path
+
+    key = jax.random.key(7)
+    kw = dict(width=48, height=24, spp=2, max_bounces=5,
+              camera_position=p["camera_position"], mirror_threshold=0.9,
+              fb_prob=1.0, impl="stepwise")
+    img_f, st_f = render_path(scene, key, guide_fn=fused, **kw)
+    img_p, st_p = render_path(scene, key, guide_fn=plain, **kw)
+    np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_p))
+    assert int(st_f.fb_used) == int(st_p.fb_used) > 0
