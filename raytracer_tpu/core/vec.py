@@ -91,6 +91,59 @@ def refract(v: jnp.ndarray, n: jnp.ndarray, eta_a, eta_b):
     return normalise_safe(out), tir
 
 
+# ---------------------------------------------------------------------------
+# Component (structure-of-arrays) forms.
+#
+# TPU lays an [R, 3] array out with the 3-wide minor axis on the 128-lane
+# dimension (≈4% lane utilisation); carrying xyz as three separate [R]
+# arrays keeps every element-wise op at full VPU width (the same layout
+# rationale as core.intersect.nearest_hit's unrolled sweep — measured ~10x
+# on the whitted trace loop).  Sums associate left-to-right, which is also
+# exactly the reference's ``self.x*v.x + self.y*v.y + self.z*v.z`` order
+# (RL/vector.py:94-95) — so f64 oracle parity is preserved to the ulp.
+# ---------------------------------------------------------------------------
+
+def dot_c(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def magnitude_c(x, y, z):
+    return jnp.sqrt(dot_c(x, y, z, x, y, z))
+
+
+def normalise_safe_c(x, y, z, eps: float = 1e-20):
+    m = jnp.maximum(magnitude_c(x, y, z), eps)
+    return x / m, y / m, z / m
+
+
+def angle_between_c(ax, ay, az, bx, by, bz):
+    c = (dot_c(ax, ay, az, bx, by, bz)
+         / (magnitude_c(ax, ay, az) * magnitude_c(bx, by, bz)))
+    return jnp.arccos(jnp.clip(c, -1.0, 1.0))
+
+
+def reflect_c(vx, vy, vz, nx, ny, nz):
+    """Component form of :func:`reflect` (same math, same normalisations)."""
+    vx, vy, vz = normalise_safe_c(vx, vy, vz)
+    nx, ny, nz = normalise_safe_c(nx, ny, nz)
+    s = 2.0 * dot_c(vx, vy, vz, nx, ny, nz)
+    return normalise_safe_c(vx - nx * s, vy - ny * s, vz - nz * s)
+
+
+def refract_c(vx, vy, vz, nx, ny, nz, eta_a, eta_b):
+    """Component form of :func:`refract`.  Returns ``(dx, dy, dz, tir)``."""
+    vx, vy, vz = normalise_safe_c(vx, vy, vz)
+    nx, ny, nz = normalise_safe_c(nx, ny, nz)
+    eta = jnp.asarray(eta_a / eta_b)
+    cos_i = jnp.abs(jnp.clip(dot_c(vx, vy, vz, nx, ny, nz), -1.0, 1.0))
+    k = 1.0 - eta**2 * (1.0 - cos_i**2)
+    tir = k < 0.0
+    f = eta * cos_i - jnp.sqrt(jnp.maximum(k, 0.0))
+    ox, oy, oz = normalise_safe_c(vx * eta + nx * f, vy * eta + ny * f,
+                                  vz * eta + nz * f)
+    return ox, oy, oz, tir
+
+
 def euler_rotation_matrix(ax, ay, az) -> jnp.ndarray:
     """The reference's Euler rotation matrix (RL/vector.py:117-127).
 

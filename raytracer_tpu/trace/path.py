@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import vec
-from ..core.intersect import NO_SUPPRESS, nearest_hit, take_small
+from ..core.intersect import NO_SUPPRESS, nearest_hit_c, take_small
 from ..scene.types import Scene
 from . import sampling
 
@@ -64,15 +64,16 @@ class PathStats:
     fb_used: jnp.ndarray
 
 
-def _direct_lighting(scene, hit, emissive_mask, dtype):
+def _direct_lighting_c(scene, px, py, pz, nx, ny, nz, idx, emissive_mask,
+                       dtype):
     """Per-level direct term (complex.py:333-348): Σ over emissive spheres
     of ``trunc(0.3·max(0,cosθ)/d² · colour)``, skipping the hit sphere —
-    unrolled per sphere in scalar components (see nearest_hit's layout
-    note; the trunc makes each term integer-valued so summation order is
-    exact)."""
-    px, py, pz = hit.point[..., 0], hit.point[..., 1], hit.point[..., 2]
-    nx, ny, nz = hit.normal[..., 0], hit.normal[..., 1], hit.normal[..., 2]
-    direct = jnp.zeros(hit.point.shape[:-1] + (3,), dtype)
+    unrolled per sphere in scalar components AND per rgb channel (see
+    nearest_hit's layout note; the trunc makes each term integer-valued so
+    summation order is exact).  Returns ``(dr, dg, db)``."""
+    dr = jnp.zeros_like(px)
+    dg = jnp.zeros_like(px)
+    db = jnp.zeros_like(px)
     for s in range(scene.centre.shape[0]):
         cx, cy, cz = scene.centre[s, 0], scene.centre[s, 1], scene.centre[s, 2]
         tx, ty, tz = cx - px, cy - py, cz - pz
@@ -81,10 +82,12 @@ def _direct_lighting(scene, hit, emissive_mask, dtype):
         den = jnp.maximum(dist, 1e-20)              # normalise_safe semantics
         cosang = (tx / den) * nx + (ty / den) * ny + (tz / den) * nz
         w = jnp.maximum(cosang, 0.0) / jnp.maximum(dist * dist, 1e-30) * 0.3
-        w = jnp.where(emissive_mask[s] & (hit.idx != s), w, 0.0)
-        direct = direct + jnp.trunc(w[..., None]
-                                    * scene.colour[s].astype(dtype)[None])
-    return direct
+        w = jnp.where(emissive_mask[s] & (idx != s), w, 0.0)
+        col = scene.colour[s].astype(dtype)
+        dr = dr + jnp.trunc(w * col[0])
+        dg = dg + jnp.trunc(w * col[1])
+        db = db + jnp.trunc(w * col[2])
+    return dr, dg, db
 
 
 def make_observation(point, normal, ray_dir, bounce_count, colour, scene,
@@ -157,7 +160,6 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     R = origins.shape[0]
     bg = jnp.asarray(background, dtype)
     d = vec.normalise_safe(dirs.astype(dtype))
-    o = origins
 
     emissive_mask = scene.emitive > 0            # "light_sources" membership
     small_mask = emissive_mask & (scene.radius < 0.5)
@@ -165,11 +167,14 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
 
     no_sup = jnp.full((R,), NO_SUPPRESS, jnp.int32)
 
+    # Component (SoA) carries — see nearest_hit's layout note: [R]-shaped
+    # xyz/rgb components keep the VPU at full lane width.
     def level(carry, inputs):
-        o, d, running = carry
+        ox, oy, oz, dx, dy, dz, running = carry
         k, subkey = inputs
 
-        hit = nearest_hit(o, d, scene, no_sup, by_abs=True)
+        hit = nearest_hit_c(ox, oy, oz, dx, dy, dz, scene, no_sup,
+                            by_abs=True)
         found = running & hit.found
 
         emis = found & take_small(emissive_mask, hit.idx)
@@ -182,66 +187,95 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         # Unrolled per sphere (same layout rationale as nearest_hit); the
         # per-light trunc makes every contribution integer-valued, so the
         # sequential sum is exactly the reference's.
-        direct = _direct_lighting(scene, hit, emissive_mask, dtype)
+        dr, dg, db = _direct_lighting_c(scene, hit.px, hit.py, hit.pz,
+                                        hit.nx, hit.ny, hit.nz, hit.idx,
+                                        emissive_mask, dtype)
 
         # Bounce direction.
         k_diff, k_fb = jax.random.split(subkey)
-        refl_d = vec.reflect(d, hit.normal)
-        diff_d = sampling.cosine_weighted(k_diff, hit.normal, "renderer")
+        rlx, rly, rlz = vec.reflect_c(dx, dy, dz, hit.nx, hit.ny, hit.nz)
+        dfx, dfy, dfz = sampling.cosine_weighted_c(k_diff, hit.nx, hit.ny,
+                                                   hit.nz, "renderer")
         if guide_fn is not None:
             use_fb = diffuse & (jax.random.uniform(k_fb, (R,), dtype) < fb_prob)
-            obs = make_observation(hit.point, hit.normal, d,
-                                  jnp.full((R,), k, dtype),
-                                  jnp.zeros((R, 3), dtype), scene, hit.idx,
-                                  max_bounces)
+            obs = make_observation(
+                jnp.stack([hit.px, hit.py, hit.pz], -1),
+                jnp.stack([hit.nx, hit.ny, hit.nz], -1),
+                jnp.stack([dx, dy, dz], -1),
+                jnp.full((R,), k, dtype),
+                jnp.zeros((R, 3), dtype), scene, hit.idx, max_bounces)
             action = jnp.clip(guide_fn(obs), -1.0, 1.0)
-            fb_d = sampling.fb_action_to_direction(action, hit.normal, "renderer")
-            diff_d = jnp.where(use_fb[:, None], fb_d, diff_d)
+            fbx, fby, fbz = sampling.fb_action_to_direction_c(
+                action, hit.nx, hit.ny, hit.nz, "renderer")
+            dfx = jnp.where(use_fb, fbx, dfx)
+            dfy = jnp.where(use_fb, fby, dfy)
+            dfz = jnp.where(use_fb, fbz, dfz)
             fb_count = jnp.sum(use_fb)
         else:
             fb_count = jnp.zeros((), jnp.int32)
 
-        new_d = jnp.where(mirror[:, None], refl_d, diff_d)
-        new_o = hit.point + hit.normal * 0.001                        # offset origin
-        o = jnp.where(cont[:, None], new_o, o)
-        d = jnp.where(cont[:, None], new_d, d)
+        nox = hit.px + hit.nx * 0.001                    # offset origin
+        noy = hit.py + hit.ny * 0.001
+        noz = hit.pz + hit.nz * 0.001
+        ox = jnp.where(cont, nox, ox)
+        oy = jnp.where(cont, noy, oy)
+        oz = jnp.where(cont, noz, oz)
+        dx = jnp.where(cont, jnp.where(mirror, rlx, dfx), dx)
+        dy = jnp.where(cont, jnp.where(mirror, rly, dfy), dy)
+        dz = jnp.where(cont, jnp.where(mirror, rlz, dfz), dz)
 
         state = jnp.where(running,
                           jnp.where(emis, _EMISSIVE,
                                     jnp.where(cont, _CONT, _MISS)),
                           _INACTIVE).astype(jnp.int8)
-        albedo = take_small(scene.colour, hit.idx).astype(dtype)
-        emis_colour = albedo                                         # light colour
+        ar = take_small(scene.colour[:, 0], hit.idx).astype(dtype)
+        ag = take_small(scene.colour[:, 1], hit.idx).astype(dtype)
+        ab = take_small(scene.colour[:, 2], hit.idx).astype(dtype)
         level_stats = (jnp.sum(running), jnp.sum(found), jnp.sum(emis),
                        jnp.sum(found & take_small(small_mask, hit.idx)),
                        fb_count)
-        out = (state, albedo, direct, emis_colour)
-        return (o, d, running & cont), (out, level_stats)
+        out = (state, ar, ag, ab, dr, dg, db)
+        return (ox, oy, oz, dx, dy, dz, running & cont), (out, level_stats)
 
     keys = jax.random.split(key, max_bounces)
     running0 = jnp.ones((R,), bool)
-    (_, _, still_running), (recs, stats_seq) = jax.lax.scan(
-        level, (o, d, running0),
-        (jnp.arange(max_bounces, dtype=dtype), keys))
+    carry0 = (origins[:, 0], origins[:, 1], origins[:, 2],
+              d[:, 0], d[:, 1], d[:, 2], running0)
+    (*_, still_running), (recs, stats_seq) = jax.lax.scan(
+        level, carry0, (jnp.arange(max_bounces, dtype=dtype), keys))
 
-    states, albedos, directs, emis_colours = recs    # [L, R(,3)]
+    states, ars, ags, abs_, drs, dgs, dbs = recs         # [L, R] each
 
     # Reverse fold: value flows from the deepest level back to the camera.
     # Lanes still running after L levels hit the bounce-budget background.
-    value0 = jnp.broadcast_to(bg, (R, 3))
+    # The emissive colour IS the albedo (light colour), so no separate rec.
+    vr0 = jnp.full((R,), bg[0], dtype)
+    vg0 = jnp.full((R,), bg[1], dtype)
+    vb0 = jnp.full((R,), bg[2], dtype)
 
     def fold(i, value):
+        vr, vg, vb = value
         lvl = max_bounces - 1 - i
         st = states[lvl]
-        combined = jnp.trunc(
-            albedos[lvl] * jnp.minimum(
-                255.0, directs[lvl] + value) / 255.0)
-        value = jnp.where((st == _CONT)[:, None], combined, value)
-        value = jnp.where((st == _EMISSIVE)[:, None], emis_colours[lvl], value)
-        value = jnp.where((st == _MISS)[:, None], bg[None, :], value)
-        return value
+        cr = jnp.trunc(ars[lvl] * jnp.minimum(255.0, drs[lvl] + vr) / 255.0)
+        cg = jnp.trunc(ags[lvl] * jnp.minimum(255.0, dgs[lvl] + vg) / 255.0)
+        cb = jnp.trunc(abs_[lvl] * jnp.minimum(255.0, dbs[lvl] + vb) / 255.0)
+        is_cont = st == _CONT
+        is_emis = st == _EMISSIVE
+        is_miss = st == _MISS
+        vr = jnp.where(is_cont, cr, vr)
+        vg = jnp.where(is_cont, cg, vg)
+        vb = jnp.where(is_cont, cb, vb)
+        vr = jnp.where(is_emis, ars[lvl], vr)
+        vg = jnp.where(is_emis, ags[lvl], vg)
+        vb = jnp.where(is_emis, abs_[lvl], vb)
+        vr = jnp.where(is_miss, bg[0], vr)
+        vg = jnp.where(is_miss, bg[1], vg)
+        vb = jnp.where(is_miss, bg[2], vb)
+        return vr, vg, vb
 
-    rgb = jax.lax.fori_loop(0, max_bounces, fold, value0)
+    vr, vg, vb = jax.lax.fori_loop(0, max_bounces, fold, (vr0, vg0, vb0))
+    rgb = jnp.stack([vr, vg, vb], -1)
 
     if collect_stats:
         # stats_seq is a tuple of per-level stacked counters [L]; the lanes
@@ -271,6 +305,10 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
 def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
                   max_bounces: int, mirror_threshold: float,
                   use_pallas: bool = False, want_obs: bool = True):
+    """One path-trace level.  Internals run on [R]-shaped components (see
+    nearest_hit's layout note); o/d/normal cross the program boundary as
+    [R, 3] (one stack each — the boundary arrays are few and cheap next to
+    the per-sphere sweeps)."""
     dtype = o.dtype
     R = o.shape[0]
     emissive_mask = scene.emitive > 0
@@ -278,46 +316,65 @@ def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
     is_mirror = scene.reflective > mirror_threshold
     no_sup = jnp.full((R,), NO_SUPPRESS, jnp.int32)
 
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
     if use_pallas:
+        from ..core.intersect import NearestHitC
         from ..core.pallas_intersect import nearest_hit_pallas
-        hit = nearest_hit_pallas(o, d, scene, no_sup, by_abs=True)
+        h = nearest_hit_pallas(o, d, scene, no_sup, by_abs=True)
+        hit = NearestHitC(found=h.found, idx=h.idx, t=h.t,
+                          px=h.point[:, 0], py=h.point[:, 1],
+                          pz=h.point[:, 2], nx=h.normal[:, 0],
+                          ny=h.normal[:, 1], nz=h.normal[:, 2])
     else:
-        hit = nearest_hit(o, d, scene, no_sup, by_abs=True)
+        hit = nearest_hit_c(ox, oy, oz, dx, dy, dz, scene, no_sup,
+                            by_abs=True)
     found = running & hit.found
     emis = found & take_small(emissive_mask, hit.idx)
     mirror = found & ~emis & take_small(is_mirror, hit.idx)
     diffuse = found & ~emis & ~mirror
     cont = mirror | diffuse
 
-    direct = _direct_lighting(scene, hit, emissive_mask, dtype)
+    dr, dg, db = _direct_lighting_c(scene, hit.px, hit.py, hit.pz,
+                                    hit.nx, hit.ny, hit.nz, hit.idx,
+                                    emissive_mask, dtype)
 
     k_diff, k_fb = jax.random.split(subkey)
-    refl_d = vec.reflect(d, hit.normal)
-    diff_d = sampling.cosine_weighted(k_diff, hit.normal, "renderer")
+    rlx, rly, rlz = vec.reflect_c(dx, dy, dz, hit.nx, hit.ny, hit.nz)
+    dfx, dfy, dfz = sampling.cosine_weighted_c(k_diff, hit.nx, hit.ny,
+                                               hit.nz, "renderer")
     fb_u = jax.random.uniform(k_fb, (R,), dtype)
 
+    normal = jnp.stack([hit.nx, hit.ny, hit.nz], -1)
     if want_obs:
-        obs = make_observation(hit.point, hit.normal, d,
-                              jnp.full((R,), lvl, dtype),
-                              jnp.zeros((R, 3), dtype), scene, hit.idx,
-                              max_bounces)
+        obs = make_observation(jnp.stack([hit.px, hit.py, hit.pz], -1),
+                               normal, d,
+                               jnp.full((R,), lvl, dtype),
+                               jnp.zeros((R, 3), dtype), scene, hit.idx,
+                               max_bounces)
     else:
         obs = jnp.zeros((R, 0), dtype)      # no guide → skip the 22-wide build
 
-    new_d = jnp.where(mirror[:, None], refl_d, diff_d)
-    new_o = hit.point + hit.normal * 0.001
-    o = jnp.where(cont[:, None], new_o, o)
-    d = jnp.where(cont[:, None], new_d, d)
+    ox = jnp.where(cont, hit.px + hit.nx * 0.001, ox)
+    oy = jnp.where(cont, hit.py + hit.ny * 0.001, oy)
+    oz = jnp.where(cont, hit.pz + hit.nz * 0.001, oz)
+    dx = jnp.where(cont, jnp.where(mirror, rlx, dfx), dx)
+    dy = jnp.where(cont, jnp.where(mirror, rly, dfy), dy)
+    dz = jnp.where(cont, jnp.where(mirror, rlz, dfz), dz)
+    o = jnp.stack([ox, oy, oz], -1)
+    d = jnp.stack([dx, dy, dz], -1)
 
     state = jnp.where(running,
                       jnp.where(emis, _EMISSIVE,
                                 jnp.where(cont, _CONT, _MISS)),
                       _INACTIVE).astype(jnp.int8)
-    albedo = take_small(scene.colour, hit.idx).astype(dtype)
+    ar = take_small(scene.colour[:, 0], hit.idx).astype(dtype)
+    ag = take_small(scene.colour[:, 1], hit.idx).astype(dtype)
+    ab = take_small(scene.colour[:, 2], hit.idx).astype(dtype)
     stats = (jnp.sum(running), jnp.sum(found), jnp.sum(emis),
              jnp.sum(found & take_small(small_mask, hit.idx)))
-    return (o, d, running & cont, state, albedo, direct, obs, diffuse,
-            fb_u, hit.normal, stats)
+    return (o, d, running & cont, state, (ar, ag, ab), (dr, dg, db), obs,
+            diffuse, fb_u, normal, stats)
 
 
 def _student_forward(params, obs, dtype):
@@ -365,18 +422,31 @@ def _level_kernel_guided(scene: Scene, o, d, running, subkey, lvl,
 
 @jax.jit
 def _apply_guide(action, normal, use_fb, d, cont):
-    fb_d = sampling.fb_action_to_direction(jnp.clip(action, -1.0, 1.0),
-                                           normal, "renderer")
-    return jnp.where((use_fb & cont)[:, None], fb_d, d)
+    fbx, fby, fbz = sampling.fb_action_to_direction_c(
+        jnp.clip(action, -1.0, 1.0),
+        normal[:, 0], normal[:, 1], normal[:, 2], "renderer")
+    m = use_fb & cont
+    return jnp.stack([jnp.where(m, fbx, d[:, 0]),
+                      jnp.where(m, fby, d[:, 1]),
+                      jnp.where(m, fbz, d[:, 2])], -1)
 
 
 @jax.jit
 def _fold_level(state, albedo, direct, bg, value):
-    combined = jnp.trunc(albedo * jnp.minimum(255.0, direct + value) / 255.0)
-    value = jnp.where((state == _CONT)[:, None], combined, value)
-    value = jnp.where((state == _EMISSIVE)[:, None], albedo, value)
-    value = jnp.where((state == _MISS)[:, None], bg[None, :], value)
-    return value
+    """One reverse-fold step on per-channel components: ``albedo``/
+    ``direct``/``value`` are ``(r, g, b)`` tuples of [R] arrays."""
+    is_cont = state == _CONT
+    is_emis = state == _EMISSIVE
+    is_miss = state == _MISS
+    out = []
+    for c in range(3):
+        comb = jnp.trunc(albedo[c] * jnp.minimum(255.0, direct[c] + value[c])
+                         / 255.0)
+        v = jnp.where(is_cont, comb, value[c])
+        v = jnp.where(is_emis, albedo[c], v)
+        v = jnp.where(is_miss, bg[c], v)
+        out.append(v)
+    return tuple(out)
 
 
 import weakref
@@ -455,9 +525,10 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
         recs.append((state, albedo, direct))
         stats_dev.append(stats)
 
-    value = jnp.broadcast_to(bg, (R, 3))
+    value = tuple(jnp.full((R,), bg[c], dtype) for c in range(3))
     for state, albedo, direct in reversed(recs):
         value = _fold_level(state, albedo, direct, bg, value)
+    value = jnp.stack(value, -1)
 
     sums = [sum(s[i] for s in stats_dev) for i in range(4)]
     still = jnp.sum(running)

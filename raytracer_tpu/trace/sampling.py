@@ -76,6 +76,72 @@ def fb_action_to_direction(action, normal, convention: str = "renderer"):
     return local_to_world(theta, phi, normal, convention)
 
 
+# ---------------------------------------------------------------------------
+# Component (SoA) forms — same math on [R]-shaped xyz components (an [R, 3]
+# array puts the 3-wide axis on the TPU's 128-lane dimension, ~4%
+# utilisation; see core.vec's component-forms note).
+# ---------------------------------------------------------------------------
+
+def _cross_c(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def tangent_frame_c(nx, ny, nz, convention: str = "renderer"):
+    """Component form of :func:`tangent_frame`.  Returns
+    ``(tx, ty, tz, bx, by, bz)``."""
+    anz = jnp.abs(nz)
+    zero = jnp.zeros_like(nx)
+    one = jnp.ones_like(nx)
+    if convention == "renderer":
+        thresh = 0.9
+        ax_, ay_, az_ = one, zero, zero                     # tangent = (1,0,0)
+    elif convention in ("env", "trainer"):
+        thresh = 0.9 if convention == "env" else 0.999
+        # cross((1,0,0), n) = (0, -nz, ny)
+        ax_, ay_, az_ = zero, -nz, ny
+    else:
+        raise ValueError(f"unknown tangent convention {convention!r}")
+    # cross((0,0,1), n) = (-ny, nx, 0)
+    bx_, by_, bz_ = -ny, nx, zero
+    above = anz > thresh
+    tx = jnp.where(above, ax_, bx_)
+    ty = jnp.where(above, ay_, by_)
+    tz = jnp.where(above, az_, bz_)
+    tx, ty, tz = vec.normalise_safe_c(tx, ty, tz)
+    cx, cy, cz = _cross_c(nx, ny, nz, tx, ty, tz)
+    bx, by, bz = vec.normalise_safe_c(cx, cy, cz)
+    return tx, ty, tz, bx, by, bz
+
+
+def local_to_world_c(theta, phi, nx, ny, nz, convention: str = "renderer"):
+    """Component form of :func:`local_to_world`.  Returns ``(wx, wy, wz)``."""
+    tx, ty, tz, bx, by, bz = tangent_frame_c(nx, ny, nz, convention)
+    st = jnp.sin(theta)
+    lx = st * jnp.cos(phi)
+    ly = st * jnp.sin(phi)
+    lz = jnp.cos(theta)
+    return vec.normalise_safe_c(lx * tx + ly * bx + lz * nx,
+                                lx * ty + ly * by + lz * ny,
+                                lx * tz + ly * bz + lz * nz)
+
+
+def cosine_weighted_c(key, nx, ny, nz, convention: str = "renderer"):
+    """Component form of :func:`cosine_weighted` (same key → same sample:
+    the uniform draw keeps the [..., 2] shape and dtype)."""
+    u = jax.random.uniform(key, nx.shape + (2,), nx.dtype)
+    theta = jnp.arccos(jnp.sqrt(u[..., 0]))
+    phi = 2.0 * jnp.pi * u[..., 1]
+    return local_to_world_c(theta, phi, nx, ny, nz, convention)
+
+
+def fb_action_to_direction_c(action, nx, ny, nz,
+                             convention: str = "renderer"):
+    """Component form of :func:`fb_action_to_direction`."""
+    theta = (action[..., 0] + 1.0) * jnp.pi / 4.0
+    phi = action[..., 1] * jnp.pi
+    return local_to_world_c(theta, phi, nx, ny, nz, convention)
+
+
 def env_action_to_direction(action, normal, convention: str = "env"):
     """RL env convention: action already is (θ, φ) in [0, π/2] × [0, 2π]."""
     return local_to_world(action[..., 0], action[..., 1], normal, convention)

@@ -33,8 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core import vec
-from ..core.intersect import (NO_SUPPRESS, nearest_hit,
-                              single_sphere_exit, take_small)
+from ..core.intersect import (NO_SUPPRESS, nearest_hit, nearest_hit_c,
+                              single_sphere_exit_c, take_small)
 from ..scene.types import Scene
 
 # Status codes for each ray lane.
@@ -60,39 +60,59 @@ class TraceResult:
     through: jnp.ndarray   # [R] i32  — transparent objects passed through
 
 
-def _refract_walk(d, n_hit, p_hit, centre, radius, ior, dtype,
-                  relevant=None):
-    """``sphereExitRay`` (RL/ray.py:109-157) for a batch of lanes.
+def _refract_walk_c(dx, dy, dz, nhx, nhy, nhz, phx, phy, phz,
+                    cx, cy, cz, radius, ior, dtype, relevant=None):
+    """``sphereExitRay`` (RL/ray.py:109-157), component (SoA) form.
 
-    Returns ``(ok, exit_point, exit_dir)``; ``ok`` False where the ray is
-    trapped after 10 internal reflections (the reference prints "TRAPPED
-    RAY" and returns None) or where the entry refraction itself TIRs (the
-    reference would crash on that; physically impossible for ior >= 1).
-    """
-    refr_d, tir_in = vec.refract(d, n_hit, jnp.asarray(1.0, dtype), ior)
-    # First exit intersection: march from the entry point along the internal dir.
-    _, e_point, e_normal = single_sphere_exit(p_hit, refr_d, centre, radius)
+    Returns ``(ok, epx, epy, epz, edx, edy, edz)``; ``ok`` False where the
+    ray is trapped after 10 internal reflections (the reference prints
+    "TRAPPED RAY" and returns None) or where the entry refraction itself
+    TIRs (the reference would crash on that; physically impossible for
+    ior >= 1)."""
+    one = jnp.asarray(1.0, dtype)
+    rdx, rdy, rdz, tir_in = vec.refract_c(dx, dy, dz, nhx, nhy, nhz,
+                                          one, ior)
+    # First exit intersection: march from the entry point along the
+    # internal dir.
+    (_, epx, epy, epz, enx, eny, enz) = single_sphere_exit_c(
+        phx, phy, phz, rdx, rdy, rdz, cx, cy, cz, radius)
 
-    def body(_, carry):
-        exited, refr_d, e_point, e_normal, out_point, out_dir = carry
-        exit_d, tir = vec.refract(refr_d, -e_normal, ior, jnp.asarray(1.0, dtype))
+    zeros = jnp.zeros_like(dx)
+
+    def body(carry):
+        (exited, rdx, rdy, rdz, epx, epy, epz, enx, eny, enz,
+         opx, opy, opz, odx, ody, odz) = carry
+        exdx, exdy, exdz, tir = vec.refract_c(rdx, rdy, rdz,
+                                              -enx, -eny, -enz, ior, one)
         newly = (~exited) & (~tir)
-        out_point = jnp.where(newly[..., None], e_point, out_point)
-        out_dir = jnp.where(newly[..., None], exit_d, out_dir)
+        opx = jnp.where(newly, epx, opx)
+        opy = jnp.where(newly, epy, opy)
+        opz = jnp.where(newly, epz, opz)
+        odx = jnp.where(newly, exdx, odx)
+        ody = jnp.where(newly, exdy, ody)
+        odz = jnp.where(newly, exdz, odz)
         exited_next = exited | newly
         # TIR lanes: reflect internally and find the next exit point.
-        refl_d = vec.reflect(refr_d, e_normal)
-        _, n_point, n_normal = single_sphere_exit(e_point, refl_d, centre, radius)
+        rlx, rly, rlz = vec.reflect_c(rdx, rdy, rdz, enx, eny, enz)
+        (_, npx, npy, npz, nnx, nny, nnz) = single_sphere_exit_c(
+            epx, epy, epz, rlx, rly, rlz, cx, cy, cz, radius)
         still = ~exited_next
-        refr_d = jnp.where(still[..., None], refl_d, refr_d)
-        e_point = jnp.where(still[..., None], n_point, e_point)
-        e_normal = jnp.where(still[..., None], n_normal, e_normal)
-        return exited_next, refr_d, e_point, e_normal, out_point, out_dir
+        rdx = jnp.where(still, rlx, rdx)
+        rdy = jnp.where(still, rly, rdy)
+        rdz = jnp.where(still, rlz, rdz)
+        epx = jnp.where(still, npx, epx)
+        epy = jnp.where(still, npy, epy)
+        epz = jnp.where(still, npz, epz)
+        enx = jnp.where(still, nnx, enx)
+        eny = jnp.where(still, nny, eny)
+        enz = jnp.where(still, nnz, enz)
+        return (exited_next, rdx, rdy, rdz, epx, epy, epz, enx, eny, enz,
+                opx, opy, opz, odx, ody, odz)
 
-    init = (0, (jnp.zeros(d.shape[:-1], bool), refr_d, e_point, e_normal,
-                jnp.zeros_like(d), jnp.zeros_like(d)))
+    init = (0, (jnp.zeros_like(dx, bool), rdx, rdy, rdz, epx, epy, epz,
+                enx, eny, enz, zeros, zeros, zeros, zeros, zeros, zeros))
 
-    rel = (jnp.ones(d.shape[:-1], bool) if relevant is None else relevant)
+    rel = (jnp.ones_like(dx, bool) if relevant is None else relevant)
 
     def cond(state):
         n, (exited, *_rest) = state
@@ -102,12 +122,12 @@ def _refract_walk(d, n_hit, p_hit, centre, radius, ior, dtype,
 
     def wbody(state):
         n, carry = state
-        return n + 1, body(n, carry)
+        return n + 1, body(carry)
 
-    _, (exited, *_, out_point, out_dir) = jax.lax.while_loop(cond, wbody,
-                                                             init)
+    _, (exited, _rdx, _rdy, _rdz, _epx, _epy, _epz, _enx, _eny, _enz,
+        opx, opy, opz, odx, ody, odz) = jax.lax.while_loop(cond, wbody, init)
     ok = exited & (~tir_in)
-    return ok, out_point, out_dir
+    return ok, opx, opy, opz, odx, ody, odz
 
 
 @partial(jax.jit, static_argnames=("max_bounces", "enable_glass",
@@ -135,7 +155,8 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     dtype = origins.dtype
     R = origins.shape[0]
     d = vec.normalise_safe(dirs.astype(dtype))
-    o = origins
+    ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
 
     if suppress_id is None:
         suppress_id = jnp.full((R,), NO_SUPPRESS, jnp.int32)
@@ -143,45 +164,53 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     through = jnp.zeros((R,), jnp.int32) if through0 is None else through0.astype(jnp.int32)
 
     status = jnp.full((R,), ACTIVE, jnp.int32)
-    zero3 = jnp.zeros((R, 3), dtype)
     zi = jnp.zeros((R,), jnp.int32)
     zf = jnp.zeros((R,), dtype)
-    res_idx, res_point, res_normal = zi, zero3, zero3
-    res_t, res_bounces, res_through = zf, zi, zi
+    res = dict(idx=zi, px=zf, py=zf, pz=zf, nx=zf, ny=zf, nz=zf,
+               t=zf, bounces=zi, through=zi)
+    fbr = dict(res)
     fb_valid = jnp.zeros((R,), bool)
-    fb_idx, fb_point, fb_normal = zi, zero3, zero3
-    fb_t, fb_bounces, fb_through = zf, zi, zi
 
     zero_mask = jnp.zeros_like(scene.reflective, bool)
     is_mirror = (scene.reflective == 1.0) if enable_mirror else zero_mask
     is_glass = (scene.transparent == 1.0) if enable_glass else zero_mask
     # (the `== True` rule, RL/ray.py:180,204)
 
+    # Component (SoA) carries throughout: an [R, 3] array puts the 3-wide
+    # axis on the TPU's 128-lane dimension (~4% utilisation); [R]-shaped
+    # xyz components keep every select/update at full VPU width (the same
+    # layout rationale as nearest_hit's unrolled sweep — this was worth
+    # ~4x on the 800x600 chandelier frame).
     def level(_, carry):
-        (o, d, suppress_id, bounces, through, status,
-         res_idx, res_point, res_normal, res_t, res_bounces, res_through,
-         fb_valid, fb_idx, fb_point, fb_normal, fb_t, fb_bounces,
-         fb_through) = carry
+        (ox, oy, oz, dx, dy, dz, suppress_id, bounces, through, status,
+         res, fb_valid, fbr) = carry
 
         active = status == ACTIVE
         zero_lanes = jnp.zeros_like(active)
         if use_pallas:
             from ..core.pallas_intersect import nearest_hit_pallas
-            hit = nearest_hit_pallas(o, d, scene, suppress_id)
+            h = nearest_hit_pallas(jnp.stack([ox, oy, oz], -1),
+                                   jnp.stack([dx, dy, dz], -1),
+                                   scene, suppress_id)
+            from ..core.intersect import NearestHitC
+            hit = NearestHitC(found=h.found, idx=h.idx, t=h.t,
+                              px=h.point[:, 0], py=h.point[:, 1],
+                              pz=h.point[:, 2], nx=h.normal[:, 0],
+                              ny=h.normal[:, 1], nz=h.normal[:, 2])
         else:
-            hit = nearest_hit(o, d, scene, suppress_id)
+            hit = nearest_hit_c(ox, oy, oz, dx, dy, dz, scene, suppress_id)
+        level_hit = dict(idx=hit.idx, px=hit.px, py=hit.py, pz=hit.pz,
+                         nx=hit.nx, ny=hit.ny, nz=hit.nz, t=hit.t,
+                         bounces=bounces, through=through)
+
+        def select(mask, a, b):
+            return {k: jnp.where(mask, a[k], b[k]) for k in b}
 
         over_budget = bounces > max_bounces
         # Chain fails here: no hit, or budget exceeded (RL/ray.py:170-174).
         fail = active & (~hit.found | over_budget)
         # On failure, fall back to the deepest reflective intersection if any.
-        use_fb = fail & fb_valid
-        res_idx = jnp.where(use_fb, fb_idx, res_idx)
-        res_point = jnp.where(use_fb[:, None], fb_point, res_point)
-        res_normal = jnp.where(use_fb[:, None], fb_normal, res_normal)
-        res_t = jnp.where(use_fb, fb_t, res_t)
-        res_bounces = jnp.where(use_fb, fb_bounces, res_bounces)
-        res_through = jnp.where(use_fb, fb_through, res_through)
+        res = select(fail & fb_valid, fbr, res)
         status = jnp.where(fail, jnp.where(fb_valid, DONE_HIT, DONE_NONE), status)
 
         live = active & ~fail
@@ -193,86 +222,72 @@ def trace_whitted(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
 
         # Terminal: record the intersection (bounces/through as of this level,
         # RL/ray.py:176-177).
-        res_idx = jnp.where(terminal, hit.idx, res_idx)
-        res_point = jnp.where(terminal[:, None], hit.point, res_point)
-        res_normal = jnp.where(terminal[:, None], hit.normal, res_normal)
-        res_t = jnp.where(terminal, hit.t, res_t)
-        res_bounces = jnp.where(terminal, bounces, res_bounces)
-        res_through = jnp.where(terminal, through, res_through)
+        res = select(terminal, level_hit, res)
         status = jnp.where(terminal, DONE_HIT, status)
 
         # Mirror: update the fallback and bounce (RL/ray.py:180-201).
         fb_valid = fb_valid | mirror
-        fb_idx = jnp.where(mirror, hit.idx, fb_idx)
-        fb_point = jnp.where(mirror[:, None], hit.point, fb_point)
-        fb_normal = jnp.where(mirror[:, None], hit.normal, fb_normal)
-        fb_t = jnp.where(mirror, hit.t, fb_t)
-        fb_bounces = jnp.where(mirror, bounces, fb_bounces)
-        fb_through = jnp.where(mirror, through, fb_through)
-        refl_d = vec.reflect(d, hit.normal)
+        fbr = select(mirror, level_hit, fbr)
+        rlx, rly, rlz = vec.reflect_c(dx, dy, dz, hit.nx, hit.ny, hit.nz)
 
         # Glass: refraction walk through the sphere (RL/ray.py:204-229).
         # Gated on a scalar any-glass predicate: levels where no lane is
         # refracting (most levels in mixed scenes) skip the walk entirely.
         if enable_glass:
             def do_walk(_):
-                return _refract_walk(
-                    d, hit.normal, hit.point,
-                    take_small(scene.centre, hit.idx),
+                return _refract_walk_c(
+                    dx, dy, dz, hit.nx, hit.ny, hit.nz,
+                    hit.px, hit.py, hit.pz,
+                    take_small(scene.centre[:, 0], hit.idx),
+                    take_small(scene.centre[:, 1], hit.idx),
+                    take_small(scene.centre[:, 2], hit.idx),
                     take_small(scene.radius, hit.idx),
-                    take_small(scene.ior, hit.idx), dtype,
-                    relevant=glass)
+                    take_small(scene.ior, hit.idx), dtype, relevant=glass)
 
             def no_walk(_):
-                return jnp.ones_like(glass), hit.point, d
+                return (jnp.ones_like(glass), hit.px, hit.py, hit.pz,
+                        dx, dy, dz)
 
-            ok, exit_point, exit_dir = jax.lax.cond(
+            (ok, epx, epy, epz, edx, edy, edz) = jax.lax.cond(
                 jnp.any(glass), do_walk, no_walk, operand=None)
         else:
             ok = jnp.ones_like(glass)
-            exit_point, exit_dir = hit.point, d
+            epx, epy, epz = hit.px, hit.py, hit.pz
+            edx, edy, edz = dx, dy, dz
         trapped = glass & ~ok
         # Trapped → None through this level → fallback (or background).
-        use_fb2 = trapped & fb_valid
-        res_idx = jnp.where(use_fb2, fb_idx, res_idx)
-        res_point = jnp.where(use_fb2[:, None], fb_point, res_point)
-        res_normal = jnp.where(use_fb2[:, None], fb_normal, res_normal)
-        res_t = jnp.where(use_fb2, fb_t, res_t)
-        res_bounces = jnp.where(use_fb2, fb_bounces, res_bounces)
-        res_through = jnp.where(use_fb2, fb_through, res_through)
+        res = select(trapped & fb_valid, fbr, res)
         status = jnp.where(trapped, jnp.where(fb_valid, DONE_HIT, DONE_NONE), status)
         glass = glass & ok
 
         # Advance continuing lanes.
         cont = mirror | glass
-        o = jnp.where(mirror[:, None], hit.point,
-                      jnp.where(glass[:, None], exit_point, o))
-        d = jnp.where(mirror[:, None], refl_d,
-                      jnp.where(glass[:, None], exit_dir, d))
+        ox = jnp.where(mirror, hit.px, jnp.where(glass, epx, ox))
+        oy = jnp.where(mirror, hit.py, jnp.where(glass, epy, oy))
+        oz = jnp.where(mirror, hit.pz, jnp.where(glass, epz, oz))
+        dx = jnp.where(mirror, rlx, jnp.where(glass, edx, dx))
+        dy = jnp.where(mirror, rly, jnp.where(glass, edy, dy))
+        dz = jnp.where(mirror, rlz, jnp.where(glass, edz, dz))
         suppress_id = jnp.where(cont, take_small(scene.id, hit.idx),
                                 suppress_id)
         bounces = jnp.where(cont, bounces + 1, bounces)
         through = jnp.where(glass, through + 1, through)
 
-        return (o, d, suppress_id, bounces, through, status,
-                res_idx, res_point, res_normal, res_t, res_bounces,
-                res_through, fb_valid, fb_idx, fb_point, fb_normal, fb_t,
-                fb_bounces, fb_through)
+        return (ox, oy, oz, dx, dy, dz, suppress_id, bounces, through,
+                status, res, fb_valid, fbr)
 
-    carry = (o, d, suppress_id, bounces, through, status,
-             res_idx, res_point, res_normal, res_t, res_bounces, res_through,
-             fb_valid, fb_idx, fb_point, fb_normal, fb_t, fb_bounces,
-             fb_through)
+    carry = (ox, oy, oz, dx, dy, dz, suppress_id, bounces, through, status,
+             res, fb_valid, fbr)
     # Levels 0..max_bounces can produce intersections; one extra level turns
     # an over-budget chain into its fallback/None.
     carry = jax.lax.fori_loop(0, max_bounces + 2, level, carry)
-    (_, _, _, _, _, status,
-     res_idx, res_point, res_normal, res_t, res_bounces, res_through,
-     *_rest) = carry
+    status, res = carry[9], carry[10]
 
-    return TraceResult(hit=status == DONE_HIT, idx=res_idx, point=res_point,
-                       normal=res_normal, t=res_t, bounces=res_bounces,
-                       through=res_through)
+    return TraceResult(hit=status == DONE_HIT, idx=res["idx"],
+                       point=jnp.stack([res["px"], res["py"], res["pz"]], -1),
+                       normal=jnp.stack([res["nx"], res["ny"], res["nz"]], -1),
+                       t=res["t"], bounces=res["bounces"],
+                       through=res["through"])
 
 
 # ---------------------------------------------------------------------------
@@ -300,14 +315,19 @@ def _level_compact(scene: Scene, o, d, suppress_id, bounces, through,
                    fb_through, valid, *, max_bounces: int,
                    enable_glass: bool, enable_mirror: bool):
     """One recursion level on a compacted live wavefront.  Mirrors the
-    fused ``level`` body lane-for-lane; ``valid`` masks bucket padding."""
+    fused ``level`` body lane-for-lane (same component math); ``valid``
+    masks bucket padding."""
     dtype = o.dtype
     zero_mask = jnp.zeros_like(scene.reflective, bool)
     is_mirror = (scene.reflective == 1.0) if enable_mirror else zero_mask
     is_glass = (scene.transparent == 1.0) if enable_glass else zero_mask
     zero_lanes = jnp.zeros_like(valid)
 
-    hit = nearest_hit(o, d, scene, suppress_id)
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    hit = nearest_hit_c(ox, oy, oz, dx, dy, dz, scene, suppress_id)
+    hit_point = jnp.stack([hit.px, hit.py, hit.pz], -1)
+    hit_normal = jnp.stack([hit.nx, hit.ny, hit.nz], -1)
     over_budget = bounces > max_bounces
     fail = valid & (~hit.found | over_budget)
     live = valid & ~fail
@@ -317,24 +337,31 @@ def _level_compact(scene: Scene, o, d, suppress_id, bounces, through,
              if enable_glass else zero_lanes)
     terminal = live & ~mirror & ~glass
 
-    refl_d = vec.reflect(d, hit.normal)
+    rlx, rly, rlz = vec.reflect_c(dx, dy, dz, hit.nx, hit.ny, hit.nz)
+    refl_d = jnp.stack([rlx, rly, rlz], -1)
 
     if enable_glass:
         def do_walk(_):
-            return _refract_walk(
-                d, hit.normal, hit.point,
-                take_small(scene.centre, hit.idx),
+            return _refract_walk_c(
+                dx, dy, dz, hit.nx, hit.ny, hit.nz, hit.px, hit.py, hit.pz,
+                take_small(scene.centre[:, 0], hit.idx),
+                take_small(scene.centre[:, 1], hit.idx),
+                take_small(scene.centre[:, 2], hit.idx),
                 take_small(scene.radius, hit.idx),
                 take_small(scene.ior, hit.idx), dtype, relevant=glass)
 
         def no_walk(_):
-            return jnp.ones_like(glass), hit.point, d
+            return (jnp.ones_like(glass), hit.px, hit.py, hit.pz,
+                    dx, dy, dz)
 
-        ok, exit_point, exit_dir = jax.lax.cond(
+        (ok, epx, epy, epz, edx, edy, edz) = jax.lax.cond(
             jnp.any(glass), do_walk, no_walk, operand=None)
     else:
         ok = jnp.ones_like(glass)
-        exit_point, exit_dir = hit.point, d
+        epx, epy, epz = hit.px, hit.py, hit.pz
+        edx, edy, edz = dx, dy, dz
+    exit_point = jnp.stack([epx, epy, epz], -1)
+    exit_dir = jnp.stack([edx, edy, edz], -1)
     trapped = glass & ~ok
     glass_ok = glass & ok
 
@@ -344,8 +371,8 @@ def _level_compact(scene: Scene, o, d, suppress_id, bounces, through,
     use_fb = (fail | trapped) & fb_valid
     done_hit = use_fb | terminal
     out_idx = jnp.where(use_fb, fb_idx, hit.idx)
-    out_point = jnp.where(use_fb[:, None], fb_point, hit.point)
-    out_normal = jnp.where(use_fb[:, None], fb_normal, hit.normal)
+    out_point = jnp.where(use_fb[:, None], fb_point, hit_point)
+    out_normal = jnp.where(use_fb[:, None], fb_normal, hit_normal)
     out_t = jnp.where(use_fb, fb_t, hit.t)
     out_bounces = jnp.where(use_fb, fb_bounces, bounces)
     out_through = jnp.where(use_fb, fb_through, through)
@@ -353,14 +380,14 @@ def _level_compact(scene: Scene, o, d, suppress_id, bounces, through,
     # Mirror lanes update their fallback and continue.
     fb_valid = fb_valid | mirror
     fb_idx = jnp.where(mirror, hit.idx, fb_idx)
-    fb_point = jnp.where(mirror[:, None], hit.point, fb_point)
-    fb_normal = jnp.where(mirror[:, None], hit.normal, fb_normal)
+    fb_point = jnp.where(mirror[:, None], hit_point, fb_point)
+    fb_normal = jnp.where(mirror[:, None], hit_normal, fb_normal)
     fb_t = jnp.where(mirror, hit.t, fb_t)
     fb_bounces = jnp.where(mirror, bounces, fb_bounces)
     fb_through = jnp.where(mirror, through, fb_through)
 
     cont = mirror | glass_ok
-    o = jnp.where(mirror[:, None], hit.point,
+    o = jnp.where(mirror[:, None], hit_point,
                   jnp.where(glass_ok[:, None], exit_point, o))
     d = jnp.where(mirror[:, None], refl_d,
                   jnp.where(glass_ok[:, None], exit_dir, d))
