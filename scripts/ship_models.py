@@ -83,6 +83,34 @@ def cmd_train_complex(args):
     print(f"saved teacher → {out}")
 
 
+def cmd_train_multi(args):
+    """Reference protocol (fb_multi_scene_training_*): 100 scenes cycling
+    the 8 templates, 150 walker episodes per scene; report average hit
+    rate to compare against the reference's recorded 34.7%
+    (final_training_report.json)."""
+    _force_cpu(args)
+    from raytracer_tpu.fb.trainer import MultiSceneFBTrainer
+
+    tr = MultiSceneFBTrainer(num_training_scenes=args.scenes,
+                             seed=args.seed, output_dir=args.workdir,
+                             guide_prob=0.0)
+    chunks = [(args.scenes // 4, 0.0), (args.scenes // 4, 0.25),
+              (args.scenes // 2, args.guide_prob)]
+    report = None
+    for n, gp in chunks:
+        tr.guide_prob = gp
+        report = tr.run_training(num_scenes=n, scenes_per_batch=20,
+                                 training_steps_per_scene=args.steps)
+        print(f"[train-multi] +{n} scenes (guide_prob={gp})", flush=True)
+    out = args.out or "models/fb_multi_scene_trained.npz"
+    tr.agent.save(out)
+    stats = report["performance_statistics"]
+    print(json.dumps({"avg_hit_rate": stats["avg_hit_rate"],
+                      "by_type": report["scene_type_performance"]},
+                     indent=2))
+    print(f"saved multi-scene agent → {out}")
+
+
 def _scene_setup(which: str):
     if which == "chandelier":
         from raytracer_tpu.scene.library import chandelier_scene
@@ -135,7 +163,8 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     for name, fn in (("train-chandelier", cmd_train_chandelier),
-                     ("train-complex", cmd_train_complex)):
+                     ("train-complex", cmd_train_complex),
+                     ("train-multi", cmd_train_multi)):
         c = sub.add_parser(name)
         c.add_argument("--scenes", type=int, default=160)
         c.add_argument("--steps", type=int, default=200)
