@@ -63,6 +63,25 @@ def _shade_result(scene: Scene, glights: GlobalLights, plights: PointLights,
     return jnp.where(res.hit[:, None], rgb, miss[None, :])
 
 
+def _shade_flat_pallas_trace(scene: Scene, glights, plights, origins, dirs,
+                             *, max_bounces: int, background, miss_colour,
+                             enable_glass: bool, enable_mirror: bool,
+                             use_pallas: bool) -> jnp.ndarray:
+    """Whole-trace Pallas backend (core/pallas_whitted.py): the full
+    recursion in one VMEM-resident kernel, then the XLA shade pass.
+    ``use_pallas`` accepted for signature parity."""
+    dtype = origins.dtype
+    from ..core.pallas_whitted import trace_whitted_pallas
+    bg = jnp.asarray(background, dtype)
+    miss = bg if miss_colour is None else jnp.asarray(miss_colour, dtype)
+    res = trace_whitted_pallas(scene, origins, dirs,
+                               max_bounces=max_bounces,
+                               enable_glass=enable_glass,
+                               enable_mirror=enable_mirror,
+                               interpret=jax.default_backend() != "tpu")
+    return _shade_result(scene, glights, plights, res, bg, miss)
+
+
 def _shade_flat_compact(scene: Scene, glights, plights, origins, dirs, *,
                         max_bounces: int, background, miss_colour,
                         enable_glass: bool, enable_mirror: bool,
@@ -125,7 +144,10 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
     10-bounce refract walk) render at full fidelity, bounded-memory.
 
     ``impl``: ``"fused"`` = one XLA program (the only option under ``jit``,
-    and the default); ``"compact"`` = host-driven live-lane compaction
+    and the default); ``"pallas"`` = the whole-trace VMEM-resident kernel
+    (core/pallas_whitted.py; measured at XLA-compute parity on v5e — the
+    componentized XLA tracer already hits ~1.1 ms device compute per
+    800×600 frame); ``"compact"`` = host-driven live-lane compaction
     between recursion levels (same image up to XLA codegen rounding).
     Compaction only pays on hosts with a low-latency device link: measured
     on the tunneled TPU here, the per-level host round-trips cost 4-8x
@@ -151,10 +173,11 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
     if impl == "compact" and (not concrete
                               or isinstance(origins, jax.core.Tracer)):
         impl = "fused"          # compaction needs eager, concrete inputs
-    shade = _shade_flat_compact if impl == "compact" else _shade_flat
+    shade = {"compact": _shade_flat_compact,
+             "pallas": _shade_flat_pallas_trace}.get(impl, _shade_flat)
 
     if chunk_rays is None or chunk_rays >= n:
-        if impl == "compact":
+        if impl in ("compact", "pallas"):
             img = shade(scene, glights, plights, origins, dirs,
                         **kw).reshape(height, width, 3)
             if mode == "unit":

@@ -47,3 +47,22 @@ def test_pallas_whole_trace_matches_xla(name, fn):
         bv = np.asarray(getattr(b, f))[hit]
         np.testing.assert_allclose(bv, av, rtol=2e-4, atol=2e-4,
                                    err_msg=f"{name}.{f}")
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_render_whitted_pallas_impl_matches_fused():
+    """render_whitted(impl="pallas") routes through the whole-trace kernel
+    and matches the fused image."""
+    from raytracer_tpu.render.renderer import render_whitted
+
+    scene, gl, pl_, pr = library.true_original_scene()
+    o, d, h, w = grid_rays(20, pr["ray_step"] * pr["ray_count"] / 20.0, 1,
+                           origin=pr["camera_position"])
+    a = render_whitted(scene, gl, pl_, o, d, h, w,
+                       max_bounces=pr["max_bounces"],
+                       background=pr["background"], impl="fused")
+    b = render_whitted(scene, gl, pl_, o, d, h, w,
+                       max_bounces=pr["max_bounces"],
+                       background=pr["background"], impl="pallas")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=2e-3)
