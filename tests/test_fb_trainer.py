@@ -109,3 +109,26 @@ def test_trained_fb_agent_and_guided_render():
                              guide_fn=agent.as_guide_fn(), fb_prob=1.0)
     assert np.isfinite(np.asarray(img)).all()
     assert int(stats.fb_used) > 0
+
+
+def test_shipped_multi_scene_report_schema():
+    """The shipped multi-scene training artifact keeps the reference's
+    final_training_report.json schema (fb_multi_scene_training_*/)."""
+    import json
+    from pathlib import Path
+
+    path = (Path(__file__).resolve().parents[1] / "models" /
+            "fb_multi_scene_training_report.json")
+    if not path.exists():
+        import pytest
+        pytest.skip("shipped multi-scene report missing")
+    r = json.loads(path.read_text())
+    assert set(r) >= {"training_summary", "performance_statistics",
+                      "scene_type_performance", "all_performances"}
+    ps = r["performance_statistics"]
+    assert ps["total_scenes_trained"] == 100
+    assert ps["scene_types_trained"] == 8
+    assert len(r["all_performances"]) == 100
+    assert set(r["scene_type_performance"]) == {
+        "complex", "cornell", "mirror", "glass", "simple", "many",
+        "occluded", "chandelier"}
