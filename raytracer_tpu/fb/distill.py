@@ -52,7 +52,16 @@ def collect_observations(scene: Scene, guide_fn, key: jax.Array, *,
                          mirror_threshold: float = 0.9) -> np.ndarray:
     """Observation wavefronts from guided renders — the on-path obs
     distribution the deployed guide will see.  Mirrors the stepwise trace
-    loop (trace/path.py) and records each level's diffuse-lane obs."""
+    loop (trace/path.py) and records each level's diffuse-lane obs.
+
+    NB the frame's ASPECT RATIO selects which scene regions the camera
+    paths visit, so ``distill_agent`` collects at both deployment aspects
+    (2:1 and 4:3).  Coverage alone does not fix off-region skill, though:
+    the student can only copy what the teacher knows, and a teacher whose
+    walk starts under-sample the giant wall spheres aims poorly from wall
+    surface points (measured: 2.8-3.2× small-light improvement at the 2:1
+    reference config vs <1× at 800×600 4:3, where more wall/floor area is
+    visible).  Broader teacher start-point coverage is the real lever."""
     from ..core import vec
     from ..render.path_renderer import _camera_bundle
     from ..trace.path import _apply_guide, _level_kernel
@@ -269,10 +278,20 @@ def distill_agent(agent, scene: Scene, *, seed: int = 0,
                   hit_weight_bonus: float = 9.0
                   ) -> Tuple[DistilledGuide, DistillResult]:
     """One-call distillation of a ``TrainedFBAgent`` on its scene, with
-    light-hit-weighted imitation (see ``light_hit_weights``)."""
+    light-hit-weighted imitation (see ``light_hit_weights``).
+
+    Observations are collected at both deployment aspect ratios (2:1 —
+    the reference's 200×100 comparisons — and 4:3 — the 800×600 render
+    configs); see the aspect/coverage note on ``collect_observations``."""
     teacher = agent.as_guide_fn(dtype=None)          # f32 teacher targets
-    obs = collect_observations(scene, teacher, jax.random.key(seed),
-                               frames=frames, camera_position=camera_position)
+    k1, k2 = jax.random.split(jax.random.key(seed))
+    obs_wide = collect_observations(scene, teacher, k1, frames=frames,
+                                    width=128, height=64,
+                                    camera_position=camera_position)
+    obs_tall = collect_observations(scene, teacher, k2, frames=frames,
+                                    width=96, height=72,
+                                    camera_position=camera_position)
+    obs = np.concatenate([obs_wide, obs_tall])
     if extra_obs is not None and len(extra_obs):
         obs = np.concatenate([obs, np.asarray(extra_obs, np.float32)])
     weight_fn = None

@@ -48,8 +48,8 @@ def test_distill_roundtrip_and_fidelity():
     reason="shipped distilled model missing")
 def test_shipped_distilled_chandelier_improves_small_light_hits():
     """The distilled guide must keep the teacher's learned-sampling win
-    (measured 2.11× small-light hits at the full config on TPU at 0.83×
-    wall-clock; 2.4-2.7× across seeds at this reduced config)."""
+    (shipped v2 model: 2.80× small-light hits at 1.19× wall-clock at the
+    full reference config on TPU)."""
     from raytracer_tpu.compare.harness import chandelier_comparison
 
     stats = chandelier_comparison(
