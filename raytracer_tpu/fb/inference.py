@@ -18,7 +18,8 @@ The reference ran this once per diffuse bounce per ray on CPU (the measured
 """
 from __future__ import annotations
 
-from typing import Optional
+import dataclasses
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,33 @@ import numpy as np
 from ..scene.types import Scene
 from .config import FBConfig
 from .networks import make_networks
+
+
+@dataclasses.dataclass(frozen=True)
+class _AgentApply:
+    """Hashable ``(params, obs, dtype) → action-mean`` forward for fusing
+    the full agent into the stepwise level kernel
+    (trace/path.py _level_kernel_guided guide_apply).  flax modules are
+    frozen dataclasses, so this is a valid static jit argument and two
+    agents with the same architecture share one compiled level program."""
+
+    enc: Any
+    bwd: Any
+
+    def __call__(self, params, obs, dtype):
+        proto = params["proto"]
+        if dtype is not None:
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(dtype), t)
+            params = {"encoder": cast(params["encoder"]),
+                      "backward": cast(params["backward"])}
+            obs = obs.astype(dtype)
+            proto = proto.astype(dtype)
+        out = self.enc.apply({"params": params["encoder"]}, obs)
+        z, _ = jnp.split(out, 2, axis=-1)
+        mean, _ = self.bwd.apply({"params": params["backward"]}, z,
+                                 jnp.broadcast_to(proto, z.shape))
+        return mean.astype(jnp.float32)
 
 
 class TrainedFBAgent:
@@ -178,6 +206,14 @@ class TrainedFBAgent:
             return _forward(params, proto, obs)
 
         guide._no_rejit = True        # consumed by trace_path's stepwise impl
+        # Stepwise tracing fuses the whole policy into the level kernel —
+        # same program shape as the distilled student, just a bigger apply
+        # (saves 2 host→device dispatches per level; the big-net params
+        # still ride as jit arguments).
+        guide._fused_spec = ({"encoder": params["encoder"],
+                              "backward": params["backward"],
+                              "proto": proto},
+                             dtype, _AgentApply(self.enc, self.bwd))
         return guide
 
 

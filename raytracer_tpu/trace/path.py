@@ -398,23 +398,31 @@ def _student_forward(params, obs, dtype):
 
 
 @partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
-                                   "use_pallas", "guide_dtype"))
+                                   "use_pallas", "guide_dtype",
+                                   "guide_apply"))
 def _level_kernel_guided(scene: Scene, o, d, running, subkey, lvl,
                          guide_params, fb_prob, *, max_bounces: int,
                          mirror_threshold: float, use_pallas: bool = False,
-                         guide_dtype=jnp.bfloat16):
-    """One level with the distilled guide FUSED into the program: obs build
-    → student MLP → action → bounce direction all in one dispatch (the
+                         guide_dtype=jnp.bfloat16, guide_apply=None):
+    """One level with the guide network FUSED into the program: obs build
+    → policy forward → action → bounce direction all in one dispatch (the
     separate-program guide costs 2 extra host→device dispatches per level,
     which at small wavefronts through the tunneled TPU is most of the
     guided-vs-traditional gap).  Same key schedule and bf16 guide math as
-    the unfused path."""
+    the unfused path.
+
+    ``guide_apply`` (static, hashable) maps ``(params, obs, dtype) →
+    action``; None selects the distilled-student MLP (_student_forward).
+    fb.inference passes a full-agent apply so the 512-wide TrainedFBAgent
+    fuses the same way (params ride as traced arguments either way — never
+    closed over, see _student_forward's note)."""
     (o2, d2, running2, state, albedo, direct, obs, diffuse, fb_u,
      normal, stats) = _level_kernel(
         scene, o, d, running, subkey, lvl, max_bounces=max_bounces,
         mirror_threshold=mirror_threshold, use_pallas=use_pallas,
         want_obs=True)
-    action = _student_forward(guide_params, obs, guide_dtype)
+    apply_fn = guide_apply if guide_apply is not None else _student_forward
+    action = apply_fn(guide_params, obs, guide_dtype)
     use_fb = diffuse & (fb_u < fb_prob)
     d2 = _apply_guide(action, normal, use_fb, d2, diffuse)
     return (o2, d2, running2, state, albedo, direct, jnp.sum(use_fb), stats)
@@ -491,7 +499,10 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
     guide = (_jit_guide(guide_fn)
              if guide_fn is not None and fused_spec is None else None)
     if fused_spec is not None:
-        g_params, g_dtype = fused_spec
+        # (params, dtype) → distilled student; (params, dtype, apply) →
+        # custom policy forward (e.g. the full TrainedFBAgent).
+        g_params, g_dtype, *rest = fused_spec
+        g_apply = rest[0] if rest else None
         fb_prob_arr = jnp.asarray(fb_prob, dtype)
 
     # No host syncs inside the loop: all counters stay on device and the
@@ -507,7 +518,8 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
                     scene, o, d, running, keys[k], lvl, g_params,
                     fb_prob_arr, max_bounces=max_bounces,
                     mirror_threshold=mirror_threshold,
-                    use_pallas=use_pallas, guide_dtype=g_dtype)
+                    use_pallas=use_pallas, guide_dtype=g_dtype,
+                    guide_apply=g_apply)
             fb_used_dev.append(fb_used)
             recs.append((state, albedo, direct))
             stats_dev.append(stats)
