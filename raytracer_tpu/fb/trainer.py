@@ -101,19 +101,32 @@ class MultiSceneFBTrainer:
         batch = generate_trajectories(scene, k, num_walkers=episodes,
                                       max_steps=self.config.max_bounces,
                                       start_bias=self.START_BIAS, **gkw)
+        # Deployment conditions the backward model on the SMALL-light
+        # prototype (fb/inference.py small_light_indices): on scenes that
+        # have small lights, the success signal (10x loss weight +
+        # light-memory latents, agent.record_success) and hindsight targets
+        # must be small-light hits, or big-light experience dominates and
+        # the prototype conditioning goes out-of-distribution at render
+        # time (measured collapse: 0.09x small-light improvement when wall
+        # starts raised the big-light hit share to ~46%).
+        has_small = bool(((np.asarray(scene.emitive) > 0)
+                          & (np.asarray(scene.radius) > 0)
+                          & (np.asarray(scene.radius) < 0.5)).any())
+        success = batch.hit_small if has_small else batch.hit_light
         valid = np.asarray(batch.valid).reshape(-1)
         if valid.any():
             flat = lambda a: np.asarray(a).reshape((-1,) + a.shape[2:])[valid]
             self.agent.record_success(flat(batch.obs), flat(batch.action),
                                       flat(batch.next_obs),
                                       flat(batch.reward),
-                                      flat(batch.hit_light))
+                                      flat(success))
         if self.HINDSIGHT:
-            self._record_hindsight(batch)
+            self._record_hindsight(batch, success)
         return float(np.asarray(batch.episode_hit).mean())
 
-    def _record_hindsight(self, batch) -> int:
-        hit_steps = np.asarray(batch.hit_light)          # [T, W]
+    def _record_hindsight(self, batch, success=None) -> int:
+        hit_steps = np.asarray(success if success is not None
+                               else batch.hit_light)     # [T, W]
         valid = np.asarray(batch.valid)
         obs = np.asarray(batch.obs)
         action = np.asarray(batch.action)
@@ -202,44 +215,59 @@ class MultiSceneFBTrainer:
         """Held-out test in the style of ``test_on_chandelier``
         (FB/train_chandelier_only.py:199-300): sample random surface points,
         query the agent, cast ONE test ray, measure light hit rates against
-        a solid-angle random baseline."""
+        a solid-angle random baseline.
+
+        Two start distributions are reported: the reference's uniform
+        non-light draw (``agent_hit_rate`` — NB on wall-heavy scenes most
+        draws land on the far side of radius-99 spheres, so both agent and
+        random rates sit near zero and the number carries little signal)
+        and a scene-core draw (``*_core`` keys, the 1/(1+r) bias the
+        trainers start walks from), which is where aiming skill is
+        measurable."""
         from ..core.intersect import nearest_hit
         from ..trace import sampling
+        from ..trace.path import make_observation
 
-        self._key, k = jax.random.split(self._key)
-        k1, k2, k3 = jax.random.split(k, 3)
         emissive = np.asarray(scene.emitive) > 0
         real = np.asarray(scene.radius) > 0
-        logits = jnp.where(jnp.asarray(emissive | ~real), -jnp.inf, 0.0)
-        idx = jax.random.categorical(k1, logits, shape=(num_tests,))
-        point, normal = sampling.uniform_on_sphere(
-            k2, scene.centre[idx], scene.radius[idx])
-        incoming = sampling.cosine_weighted(k3, normal, "trainer")
-        from ..trace.path import make_observation
-        obs = make_observation(point, normal, incoming,
-                              jnp.zeros((num_tests,)),
-                              jnp.zeros((num_tests, 3)), scene, idx,
-                              float(self.config.max_bounces))
-        action, _ = self.agent.choose_direction_research(np.asarray(obs))
-        d = sampling.fb_action_to_direction(jnp.asarray(action), normal,
-                                            "trainer")
-        hit = nearest_hit(point + normal * 0.001, d, scene, scene.id[idx],
-                          by_abs=True)
-        agent_hits = np.asarray(hit.found & (scene.emitive[hit.idx] > 0))
         small = np.asarray(scene.radius) < 0.5
-        agent_small = np.asarray(hit.found) & agent_hits & small[np.asarray(hit.idx)]
 
-        # Random solid-angle baseline: crude expected hit probability.
-        self._key, kr = jax.random.split(self._key)
-        dr = sampling.cosine_weighted(kr, normal, "trainer")
-        rhit = nearest_hit(point + normal * 0.001, dr, scene, scene.id[idx],
-                           by_abs=True)
-        rand_hits = np.asarray(rhit.found & (scene.emitive[rhit.idx] > 0))
+        def probe(logits):
+            self._key, k = jax.random.split(self._key)
+            k1, k2, k3, kr = jax.random.split(k, 4)
+            idx = jax.random.categorical(k1, logits, shape=(num_tests,))
+            point, normal = sampling.uniform_on_sphere(
+                k2, scene.centre[idx], scene.radius[idx])
+            incoming = sampling.cosine_weighted(k3, normal, "trainer")
+            obs = make_observation(point, normal, incoming,
+                                  jnp.zeros((num_tests,)),
+                                  jnp.zeros((num_tests, 3)), scene, idx,
+                                  float(self.config.max_bounces))
+            action, _ = self.agent.choose_direction_research(np.asarray(obs))
+            d = sampling.fb_action_to_direction(jnp.asarray(action), normal,
+                                                "trainer")
+            hit = nearest_hit(point + normal * 0.001, d, scene,
+                              scene.id[idx], by_abs=True)
+            hits = np.asarray(hit.found & (scene.emitive[hit.idx] > 0))
+            shits = hits & small[np.asarray(hit.idx)]
+            dr = sampling.cosine_weighted(kr, normal, "trainer")
+            rhit = nearest_hit(point + normal * 0.001, dr, scene,
+                               scene.id[idx], by_abs=True)
+            rand = np.asarray(rhit.found & (scene.emitive[rhit.idx] > 0))
+            return float(hits.mean()), float(shits.mean()), float(rand.mean())
+
+        mask = jnp.asarray(emissive | ~real)
+        a, s, r = probe(jnp.where(mask, -jnp.inf, 0.0))
+        a_c, s_c, r_c = probe(jnp.where(
+            mask, -jnp.inf, -jnp.log1p(scene.radius)))
         return {
             "num_tests": num_tests,
-            "agent_hit_rate": float(agent_hits.mean()),
-            "agent_small_light_rate": float(agent_small.mean()),
-            "random_hit_rate": float(rand_hits.mean()),
+            "agent_hit_rate": a,
+            "agent_small_light_rate": s,
+            "random_hit_rate": r,
+            "agent_hit_rate_core": a_c,
+            "agent_small_light_rate_core": s_c,
+            "random_hit_rate_core": r_c,
         }
 
     def test_on_complex(self, num_tests: int = 200) -> dict:
@@ -254,6 +282,12 @@ class MultiSceneFBTrainer:
 class ChandelierOnlyTrainer(MultiSceneFBTrainer):
     """FB/train_chandelier_only.py:186-197: chandelier variations only,
     max_bounces=8, f_hidden 512 / b_hidden 256."""
+
+    # "mixed" adds wall-surface start points (fb/trajectory.py): the
+    # chandelier deployment configs include 4:3 views where wall/floor
+    # surfaces dominate the frame, and a core-starts-only teacher aims
+    # poorly from them (fb/distill.py scope note).
+    START_BIAS = "mixed"
 
     def __init__(self, num_training_scenes: int = 100, **kw):
         cfg = kw.pop("config", None) or FBConfig(max_bounces=8,

@@ -37,6 +37,7 @@ class TrajectoryBatch(NamedTuple):
     next_obs: jnp.ndarray   # [T, W, 22]
     reward: jnp.ndarray     # [T, W]
     hit_light: jnp.ndarray  # [T, W] bool
+    hit_small: jnp.ndarray  # [T, W] bool — the hit light has radius < 0.5
     valid: jnp.ndarray      # [T, W] bool
     episode_hit: jnp.ndarray  # [W] bool — did the walker ever reach a light
 
@@ -61,6 +62,16 @@ def generate_trajectories(scene: Scene, key: jax.Array, *,
       (non-ray-traced) experience, not this walk.
     * ``"small"`` — weight start spheres by 1/(1+r): walkers start on the
       scene-core objects, making real ray-traced training productive.
+    * ``"mixed"`` — ``"small"``, but ~35%% of walkers start on WALL spheres
+      (radius ≥ 5), on the core-facing surface region: the surface point is
+      the projection toward a uniform target inside the scene core's
+      inflated bounding box.  Rationale (measured, fb/distill.py scope
+      note): a teacher trained only from core starts aims poorly from
+      wall/floor surface points, which dominate 4:3 (800×600) views — the
+      v2 chandelier model scores 2.8× small-light hits at 200×100 (2:1)
+      but <1× at 800×600.  Pole-biased ``uniform_on_sphere`` on a
+      radius-99 wall almost never lands on the ~10-unit core-facing cap,
+      so wall competence needs explicit start coverage.
 
     Guide-in-the-loop: pass ``guide_apply(params, obs, proto) -> mean`` (a
     static callable; params/prototype travel as traced ARGUMENTS so big
@@ -78,14 +89,44 @@ def generate_trajectories(scene: Scene, key: jax.Array, *,
     k_start, k_point, k_dir, k_walk = jax.random.split(key, 4)
 
     # Random non-light start sphere (radius<=0 excludes pad_scene dummies).
-    if start_bias == "small":
-        logits = jnp.where(emissive | (scene.radius <= 0), -jnp.inf,
+    real = scene.radius > 0
+    WALL_R = 5.0
+    if start_bias in ("small", "mixed"):
+        logits = jnp.where(emissive | ~real, -jnp.inf,
                            -jnp.log1p(scene.radius))
+        if start_bias == "mixed":
+            # Exclude walls from the small-biased draw; they get their own.
+            logits = jnp.where(scene.radius >= WALL_R, -jnp.inf, logits)
     else:
-        logits = jnp.where(emissive | (scene.radius <= 0), -jnp.inf, 0.0)
+        logits = jnp.where(emissive | ~real, -jnp.inf, 0.0)
     idx0 = jax.random.categorical(k_start, logits, shape=(W,))
     point0, normal0 = sampling.uniform_on_sphere(
         k_point, scene.centre[idx0], scene.radius[idx0])
+
+    if start_bias == "mixed":
+        k_point, k_wall, k_mix, k_tgt = jax.random.split(k_point, 4)
+        wall = real & ~emissive & (scene.radius >= WALL_R)
+        core = real & (scene.radius < WALL_R)
+        # Inflated bounding box of the scene-core spheres → wall-start
+        # targets cover the wall/floor area a core-framing camera sees.
+        big = jnp.asarray(1e30, dtype)
+        lo = jnp.min(jnp.where(core[:, None], scene.centre, big), axis=0)
+        hi = jnp.max(jnp.where(core[:, None], scene.centre, -big), axis=0)
+        mid, half = (lo + hi) * 0.5, (hi - lo) * 0.5 + 1.0
+        target = mid + (jax.random.uniform(k_tgt, (W, 3), dtype) * 2.0
+                        - 1.0) * half * 2.5
+        wall_logits = jnp.where(wall, 0.0, -jnp.inf)
+        idx_w = jax.random.categorical(k_wall, wall_logits, shape=(W,))
+        wc = scene.centre[idx_w]
+        delta = target - wc
+        nrm = delta / jnp.maximum(
+            jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True)), 1e-9)
+        use_wall = ((jax.random.uniform(k_mix, (W,)) < 0.35)
+                    & jnp.any(wall) & jnp.any(core))
+        idx0 = jnp.where(use_wall, idx_w, idx0)
+        point0 = jnp.where(use_wall[:, None],
+                           wc + nrm * scene.radius[idx_w][:, None], point0)
+        normal0 = jnp.where(use_wall[:, None], nrm, normal0)
     incoming0 = sampling.cosine_weighted(k_dir, normal0, "trainer")
     mb = jnp.asarray(float(max_steps), dtype)
 
@@ -120,6 +161,7 @@ def generate_trajectories(scene: Scene, key: jax.Array, *,
                           by_abs=True)
 
         hit_light = hit.found & take_small(emissive, hit.idx)
+        hit_small = hit_light & (take_small(scene.radius, hit.idx) < 0.5)
         reward = jnp.where(hit_light, 1.0, 0.0)
         colour = jnp.where(hit_light[:, None],
                            take_small(scene.colour, hit.idx).astype(dtype),
@@ -130,7 +172,8 @@ def generate_trajectories(scene: Scene, key: jax.Array, *,
         next_obs = next_obs.at[:, 16].set((bounce + 1.0) / mb)
 
         valid = active & hit.found
-        rec = (obs, action, next_obs, reward, hit_light & valid, valid)
+        rec = (obs, action, next_obs, reward, hit_light & valid,
+               hit_small & valid, valid)
 
         cont = active & hit.found & ~hit_light
         point = jnp.where(cont[:, None], hit.point, point)
@@ -142,9 +185,10 @@ def generate_trajectories(scene: Scene, key: jax.Array, *,
     keys = jax.random.split(k_walk, max_steps)
     bounces = jnp.arange(max_steps, dtype=dtype)
     init = (point0, normal0, idx0, obs0, jnp.ones((W,), bool))
-    _, (obs, action, next_obs, reward, hit_light, valid) = jax.lax.scan(
-        step, init, (keys, bounces))
+    _, (obs, action, next_obs, reward, hit_light, hit_small,
+        valid) = jax.lax.scan(step, init, (keys, bounces))
 
     return TrajectoryBatch(obs=obs, action=action, next_obs=next_obs,
-                           reward=reward, hit_light=hit_light, valid=valid,
+                           reward=reward, hit_light=hit_light,
+                           hit_small=hit_small, valid=valid,
                            episode_hit=jnp.any(hit_light, axis=0))

@@ -59,6 +59,42 @@ def test_trajectories_shapes_and_hits():
     assert np.isfinite(np.asarray(batch.obs)[v]).all()
 
 
+def test_mixed_start_bias_covers_walls():
+    """"mixed" puts ~35% of walkers on wall spheres, on the core-facing
+    surface region (fb/trajectory.py) — and degrades to the small bias on
+    scenes without walls."""
+    scene, _ = templates.generate_scene("chandelier_scene", 3, pad_to=64)
+    b = generate_trajectories(scene, jax.random.key(0), num_walkers=512,
+                              max_steps=2, start_bias="mixed")
+    pts = np.asarray(b.obs[0])[:, 0:3]
+    C, R = np.asarray(scene.centre), np.asarray(scene.radius)
+    d = np.linalg.norm(pts[:, None, :] - C[None], axis=-1)
+    on_wall = (np.abs(d - R[None]) < 1e-3)[:, R >= 5].any(axis=1)
+    assert 0.2 < on_wall.mean() < 0.5
+    # Core-facing: wall starts sit within the visible scene region, not on
+    # the far side of the radius-99 spheres.
+    assert (np.abs(pts[on_wall]) < 40).all()
+    # Normals at wall starts point back toward the scene core (obs 6:9).
+    normals = np.asarray(b.obs[0])[on_wall, 6:9]
+    to_core = -pts[on_wall] + np.array([0.0, 4.0, 8.0])
+    to_core /= np.linalg.norm(to_core, axis=1, keepdims=True)
+    # Loose proxy: targets span the inflated core bbox, so not every normal
+    # points at the chandelier centroid — but most point core-ward.
+    assert ((normals * to_core).sum(axis=1) > 0).mean() > 0.75
+
+    # No-wall scene: behaves like "small" (all starts on real spheres).
+    from raytracer_tpu.scene.types import SceneBuilder
+    sb = SceneBuilder()
+    sb.add_sphere((0, 0, 0), 1.0, (200, 120, 80), id=1)
+    sb.add_sphere((0, 4, 0), 0.5, (255, 255, 240), emitive=1.0, id=2)
+    small_scene, _, _ = sb.build()
+    b2 = generate_trajectories(small_scene, jax.random.key(1),
+                               num_walkers=64, max_steps=2,
+                               start_bias="mixed")
+    p2 = np.asarray(b2.obs[0])[:, 0:3]
+    assert np.allclose(np.linalg.norm(p2, axis=1), 1.0, atol=1e-3)
+
+
 def test_trainer_end_to_end(tmp_path):
     tr = MultiSceneFBTrainer(num_training_scenes=8, config=_tiny_cfg(),
                              output_dir=tmp_path / "run")
