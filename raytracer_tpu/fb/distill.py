@@ -118,16 +118,12 @@ def _chunked(fn, arr, chunk=1 << 19):
     return np.concatenate(outs)
 
 
-def light_hit_weights(scene: Scene, obs: np.ndarray, actions: np.ndarray,
-                      *, bonus: float = 9.0,
-                      small_radius_below: float = 0.5) -> np.ndarray:
-    """Imitation weights: 1, plus ``bonus`` where the teacher's action,
-    shot from the obs's surface point, hits an emissive sphere (double
-    bonus for the small lights).  Plain MSE optimises average action error,
-    but the deployment metric is *light hits* — the lanes where the teacher
-    is pointing at a light are exactly the ones the student must copy to
-    sub-0.01 action error (a 0.1-radius light subtends ~0.017 rad)."""
-    from ..core.intersect import NO_SUPPRESS, nearest_hit
+def _action_outcomes(scene: Scene, obs: np.ndarray, actions: np.ndarray,
+                     *, small_radius_below: float = 0.5):
+    """Shoot each action from its obs's surface point; return
+    ``(emis, small)`` boolean arrays — did the ray land on an emissive
+    sphere / on a *small* emissive sphere (the deployment metric)."""
+    from ..core.intersect import NO_SUPPRESS, nearest_hit, take_small
     from ..trace import sampling
 
     def shoot(args):
@@ -138,20 +134,135 @@ def light_hit_weights(scene: Scene, obs: np.ndarray, actions: np.ndarray,
         hit = nearest_hit(point + normal * 0.001, direction, scene,
                           jnp.full(o.shape[:1], NO_SUPPRESS, jnp.int32),
                           by_abs=True)
-        from ..core.intersect import take_small
         emis = hit.found & (take_small(scene.emitive, hit.idx) > 0)
         small = emis & (take_small(scene.radius, hit.idx)
                         < small_radius_below)
-        return 1.0 + bonus * emis + bonus * small
+        return emis, small
 
     shoot_j = jax.jit(shoot)          # one jit; chunks share the compile
     chunk = 1 << 19
-    outs = []
+    emis_out, small_out = [], []
     for i in range(0, obs.shape[0], chunk):
-        outs.append(np.asarray(shoot_j(
-            (jnp.asarray(obs[i:i + chunk]),
-             jnp.asarray(actions[i:i + chunk])))))
-    return np.concatenate(outs).astype(np.float32)
+        e, s = shoot_j((jnp.asarray(obs[i:i + chunk]),
+                        jnp.asarray(actions[i:i + chunk])))
+        emis_out.append(np.asarray(e))
+        small_out.append(np.asarray(s))
+    return np.concatenate(emis_out), np.concatenate(small_out)
+
+
+def light_hit_weights(scene: Scene, obs: np.ndarray, actions: np.ndarray,
+                      *, bonus: float = 9.0,
+                      small_radius_below: float = 0.5) -> np.ndarray:
+    """Imitation weights: 1, plus ``bonus`` where the teacher's action,
+    shot from the obs's surface point, hits an emissive sphere (double
+    bonus for the small lights).  Plain MSE optimises average action error,
+    but the deployment metric is *light hits* — the lanes where the teacher
+    is pointing at a light are exactly the ones the student must copy to
+    sub-0.01 action error (a 0.1-radius light subtends ~0.017 rad)."""
+    emis, small = _action_outcomes(scene, obs, actions,
+                                   small_radius_below=small_radius_below)
+    return (1.0 + bonus * emis + bonus * small).astype(np.float32)
+
+
+def best_of_teachers_targets(scene: Scene, obs: np.ndarray, teacher_fns,
+                             *, bonus: float = 9.0,
+                             small_radius_below: float = 0.5):
+    """Per-obs imitation target selected among several FB teachers by
+    measured outcome: each teacher's action is shot from the obs's surface
+    point and scored small-light hit (2) > any-light hit (1) > miss (0);
+    the student imitates the best-scoring teacher (ties → the FIRST
+    teacher, so list the primary/deployment teacher first).
+
+    **Measured caveat (chandelier v4+v2 teachers, TPU, 200×100@8spp):**
+    one-step outcome selection RAISES the student's one-step aimed-hit
+    rate (2.8e-3 vs 1.7e-3 for the better single teacher) yet COLLAPSES
+    the rendered small-light improvement (0.21-0.53× vs 1.69× for the
+    single-teacher student).  The minority teacher's winning actions are
+    isolated, high-weight off-manifold labels for a smooth student —
+    tripled fit loss, degraded behaviour everywhere.  The fix that does
+    work is :func:`hindsight_aim_targets` (sharpen the PRIMARY teacher's
+    own hits; measured 1.69× → 2.06× at the same config).  This selector
+    stays available for experiments; prefer single-teacher + sharpening
+    for deployment models.
+
+    Returns ``(targets, weights)`` with light_hit_weights-compatible
+    weights computed on the selected action."""
+    assert len(teacher_fns) >= 1
+    acts, scores = [], []
+    for fn in teacher_fns:
+        a = np.clip(_chunked(fn, obs), -1.0, 1.0)
+        emis, small = _action_outcomes(scene, obs, a,
+                                       small_radius_below=small_radius_below)
+        acts.append(a)
+        scores.append(emis.astype(np.int32) + small.astype(np.int32))
+    scores = np.stack(scores)                       # [T, N]
+    best = np.argmax(scores, axis=0)                # first teacher wins ties
+    targets = np.stack(acts)[best, np.arange(obs.shape[0])]
+    sel = scores[best, np.arange(obs.shape[0])]
+    weights = (1.0 + bonus * (sel >= 1) + bonus * (sel >= 2)
+               ).astype(np.float32)
+    hit_any = (scores >= 1).mean(axis=1)
+    hit_small = (scores >= 2).mean(axis=1)
+    print("best_of_teachers: per-teacher hit rates "
+          f"any={np.round(hit_any, 4).tolist()} "
+          f"small={np.round(hit_small, 4).tolist()} | selected "
+          f"any={float((sel >= 1).mean()):.4f} "
+          f"small={float((sel >= 2).mean()):.4f} | win share "
+          f"{[float((best == t).mean()) for t in range(len(teacher_fns))]}",
+          flush=True)
+    return targets.astype(np.float32), weights
+
+
+def hindsight_aim_targets(scene: Scene, obs: np.ndarray, actions: np.ndarray,
+                          *, small_radius_below: float = 0.5,
+                          bonus: float = 9.0):
+    """Hindsight aim-sharpening: where the teacher's action already lands
+    on an emissive sphere, replace the imitation target with the EXACT
+    aim at that same sphere's centre; keep the raw teacher action
+    elsewhere.  Standard hindsight relabelling of the teacher's own
+    successes — the skill (which light is worth aiming at, from where)
+    still comes from the FB teacher; only the aim is tightened to the
+    centre of the light it chose.
+
+    Why it works where cross-teacher selection fails: the sharpened
+    targets live ON the teacher's action manifold (within the light's
+    ~0.017 rad subtense of the raw action), so the target field stays
+    smooth and the student fits it well — measured chandelier v4 student
+    1.69× → 2.06× small-light improvement at the reference 200×100@8spp
+    config, paired-data control +50% (1.37× → 2.06×).
+
+    Returns ``(targets, weights)`` ready for :func:`distill`'s
+    ``target_fn``."""
+    from ..core.intersect import NO_SUPPRESS, nearest_hit, take_small
+    from ..trace import sampling
+
+    def sharpen(o, a):
+        point, normal = o[:, 0:3], o[:, 6:9]
+        d = sampling.fb_action_to_direction(jnp.clip(a, -1.0, 1.0), normal,
+                                            "renderer")
+        hit = nearest_hit(point + normal * 0.001, d, scene,
+                          jnp.full(o.shape[:1], NO_SUPPRESS, jnp.int32),
+                          by_abs=True)
+        emis = hit.found & (take_small(scene.emitive, hit.idx) > 0)
+        small = emis & (take_small(scene.radius, hit.idx)
+                        < small_radius_below)
+        centre = scene.centre[hit.idx]
+        aim = centre - point
+        aim = aim / jnp.linalg.norm(aim, axis=-1, keepdims=True)
+        a_sharp = sampling.direction_to_action(aim, normal,
+                                               convention="renderer")
+        return jnp.where(emis[:, None], a_sharp, a), emis, small
+
+    sharpen_j = jax.jit(sharpen)
+    chunk = 1 << 19
+    targets = np.empty_like(actions)
+    w = np.empty(obs.shape[0], np.float32)
+    for i in range(0, obs.shape[0], chunk):
+        t, emis, small = sharpen_j(jnp.asarray(obs[i:i + chunk]),
+                                   jnp.asarray(actions[i:i + chunk]))
+        targets[i:i + chunk] = np.asarray(t)
+        w[i:i + chunk] = np.asarray(1.0 + bonus * emis + bonus * small)
+    return np.clip(targets, -1.0, 1.0), w
 
 
 def distill(teacher_guide_fn, obs: np.ndarray, *, seed: int = 0,
@@ -159,7 +270,7 @@ def distill(teacher_guide_fn, obs: np.ndarray, *, seed: int = 0,
             batch_size: int = 65536, learning_rate: float = 3e-3,
             jitter: float = 0.02,
             weights: Optional[np.ndarray] = None,
-            weight_fn=None) -> DistillResult:
+            weight_fn=None, target_fn=None) -> DistillResult:
     """Fit the student to the teacher's actions on ``obs`` (+ jittered
     copies so the student generalises off the exact visited manifold).
 
@@ -177,10 +288,16 @@ def distill(teacher_guide_fn, obs: np.ndarray, *, seed: int = 0,
             [obs, obs + rng.normal(scale=jitter,
                                    size=obs.shape).astype(np.float32)])
     # Teacher targets in bounded chunks — one batched forward over millions
-    # of obs would blow HBM on the activations.
-    target = np.clip(_chunked(teacher_guide_fn, obs), -1.0, 1.0)
-    if weights is None and weight_fn is not None:
-        weights = weight_fn(obs, target)
+    # of obs would blow HBM on the activations.  ``target_fn`` (obs →
+    # (targets, weights)) overrides the single-teacher path — used by
+    # distill_ensemble's outcome-selected targets, and applied AFTER
+    # jittering so jittered copies get their own selection.
+    if target_fn is not None:
+        target, weights = target_fn(obs)
+    else:
+        target = np.clip(_chunked(teacher_guide_fn, obs), -1.0, 1.0)
+        if weights is None and weight_fn is not None:
+            weights = weight_fn(obs, target)
     weights = (np.ones(obs.shape[0], np.float32) if weights is None
                else np.asarray(weights, np.float32))
 
@@ -275,14 +392,20 @@ def distill_agent(agent, scene: Scene, *, seed: int = 0,
                   frames: int = 4, epochs: int = 30,
                   hidden: Tuple[int, ...] = (64, 64),
                   extra_obs: Optional[np.ndarray] = None,
-                  hit_weight_bonus: float = 9.0
+                  hit_weight_bonus: float = 9.0,
+                  hindsight_sharpen: bool = False
                   ) -> Tuple[DistilledGuide, DistillResult]:
     """One-call distillation of a ``TrainedFBAgent`` on its scene, with
     light-hit-weighted imitation (see ``light_hit_weights``).
 
     Observations are collected at both deployment aspect ratios (2:1 —
     the reference's 200×100 comparisons — and 4:3 — the 800×600 render
-    configs); see the aspect/coverage note on ``collect_observations``."""
+    configs); see the aspect/coverage note on ``collect_observations``.
+
+    ``hindsight_sharpen=True`` relabels the teacher's hitting actions
+    with exact centre aim (:func:`hindsight_aim_targets`) — measured
+    +22% rendered small-light improvement at the reference config on the
+    shipped chandelier v4 teacher."""
     teacher = agent.as_guide_fn(dtype=None)          # f32 teacher targets
     k1, k2 = jax.random.split(jax.random.key(seed))
     obs_wide = collect_observations(scene, teacher, k1, frames=frames,
@@ -294,10 +417,52 @@ def distill_agent(agent, scene: Scene, *, seed: int = 0,
     obs = np.concatenate([obs_wide, obs_tall])
     if extra_obs is not None and len(extra_obs):
         obs = np.concatenate([obs, np.asarray(extra_obs, np.float32)])
+    target_fn = None
     weight_fn = None
-    if hit_weight_bonus > 0:
+    if hindsight_sharpen:
+        def target_fn(o):
+            acts = np.clip(_chunked(teacher, o), -1.0, 1.0)
+            return hindsight_aim_targets(scene, o, acts,
+                                         bonus=hit_weight_bonus)
+    elif hit_weight_bonus > 0:
         def weight_fn(o, a):
             return light_hit_weights(scene, o, a, bonus=hit_weight_bonus)
     res = distill(teacher, obs, seed=seed, hidden=hidden, epochs=epochs,
-                  weight_fn=weight_fn)
+                  weight_fn=weight_fn, target_fn=target_fn)
+    return DistilledGuide(res.params, res.hidden), res
+
+
+def distill_ensemble(agents, scene: Scene, *, seed: int = 0,
+                     camera_position=(0.0, 2.0, 0.0), frames: int = 4,
+                     epochs: int = 30, hidden: Tuple[int, ...] = (128, 128),
+                     hit_weight_bonus: float = 9.0
+                     ) -> Tuple[DistilledGuide, DistillResult]:
+    """Distil SEVERAL trained FB agents into one student with per-obs
+    outcome-selected targets (``best_of_teachers_targets``).
+
+    Observations are collected under EVERY teacher's own guided renders at
+    both deployment aspects, so the pooled obs distribution covers each
+    teacher's on-policy manifold; targets then pick, per obs, the teacher
+    whose action measurably lands on a (small) light.  List the primary
+    deployment teacher first — it wins ties and supplies the target where
+    no teacher hits."""
+    teachers = [a.as_guide_fn(dtype=None) for a in agents]
+    key = jax.random.key(seed)
+    pools = []
+    for t in teachers:
+        key, k1, k2 = jax.random.split(key, 3)
+        pools.append(collect_observations(
+            scene, t, k1, frames=frames, width=128, height=64,
+            camera_position=camera_position))
+        pools.append(collect_observations(
+            scene, t, k2, frames=frames, width=96, height=72,
+            camera_position=camera_position))
+    obs = np.concatenate(pools)
+
+    def target_fn(o):
+        return best_of_teachers_targets(scene, o, teachers,
+                                        bonus=hit_weight_bonus)
+
+    res = distill(None, obs, seed=seed, hidden=hidden, epochs=epochs,
+                  target_fn=target_fn)
     return DistilledGuide(res.params, res.hidden), res

@@ -134,9 +134,35 @@ def cmd_distill(args):
     guide, res = distill_agent(
         agent, scene, seed=args.seed, camera_position=cam,
         frames=args.frames, epochs=args.epochs,
-        hidden=tuple(args.hidden), hit_weight_bonus=args.bonus)
+        hidden=tuple(args.hidden), hit_weight_bonus=args.bonus,
+        hindsight_sharpen=args.sharpen)
     guide.save(args.out)
     print(f"distilled {args.teacher} → {args.out}: "
+          f"n_obs={res.n_obs:,} final_loss={res.final_loss:.2e} "
+          f"hidden={tuple(args.hidden)} sharpen={args.sharpen}")
+
+
+def cmd_distill_ensemble(args):
+    """Outcome-selected ensemble distillation: one student imitating, per
+    observation, whichever of several trained FB teachers measurably lands
+    its action on a (small) light.  Closes the v4-vs-v2 aspect trade-off
+    (STATUS.md): list the primary deployment teacher FIRST (tie-winner)."""
+    _force_cpu(args)
+    from raytracer_tpu.fb.distill import distill_ensemble
+    from raytracer_tpu.fb.inference import TrainedFBAgent, small_light_indices
+
+    scene, cam = _scene_setup(args.scene)
+    agents = []
+    for path in args.teachers:
+        a = TrainedFBAgent(path, scene, small_light_indices(scene), cam)
+        assert a.loaded, f"teacher failed to load: {path}"
+        agents.append(a)
+    guide, res = distill_ensemble(
+        agents, scene, seed=args.seed, camera_position=cam,
+        frames=args.frames, epochs=args.epochs, hidden=tuple(args.hidden),
+        hit_weight_bonus=args.bonus)
+    guide.save(args.out)
+    print(f"ensemble-distilled {len(agents)} teachers → {args.out}: "
           f"n_obs={res.n_obs:,} final_loss={res.final_loss:.2e} "
           f"hidden={tuple(args.hidden)}")
 
@@ -185,8 +211,25 @@ def main(argv=None):
     d.add_argument("--epochs", type=int, default=40)
     d.add_argument("--bonus", type=float, default=9.0)
     d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--sharpen", action="store_true",
+                   help="hindsight aim-sharpened targets (measured +22% "
+                        "rendered small-light improvement)")
     d.add_argument("--tpu", action="store_true")
     d.set_defaults(fn=cmd_distill)
+
+    de = sub.add_parser("distill-ensemble")
+    de.add_argument("--scene", choices=["chandelier", "complex"],
+                    required=True)
+    de.add_argument("--teachers", nargs="+", required=True,
+                    help="teacher checkpoints; the FIRST wins ties")
+    de.add_argument("--out", required=True)
+    de.add_argument("--hidden", type=int, nargs="+", default=[128, 128])
+    de.add_argument("--frames", type=int, default=6)
+    de.add_argument("--epochs", type=int, default=40)
+    de.add_argument("--bonus", type=float, default=9.0)
+    de.add_argument("--seed", type=int, default=0)
+    de.add_argument("--tpu", action="store_true")
+    de.set_defaults(fn=cmd_distill_ensemble)
 
     e = sub.add_parser("eval")
     e.add_argument("--scene", choices=["chandelier", "complex"],

@@ -48,10 +48,11 @@ def test_distill_roundtrip_and_fidelity():
     reason="shipped distilled model missing")
 def test_shipped_distilled_chandelier_improves_small_light_hits():
     """The distilled guide must keep the teacher's learned-sampling win at
-    BOTH deployment aspects (shipped v4 model, TPU: 1.69× hits at 1.45×
-    speedup at the reference's 200×100@8spp config, 3.62× at 1.93× at the
-    800×600@8spp deployment config).  CPU probe measurements (seed 5):
-    1.48× at 100×50 (2:1), 3.57× at 120×90 (4:3); pinned with margin."""
+    BOTH deployment aspects (shipped v5 model — hindsight aim-sharpened
+    v4 distillation, TPU: 2.49× hits at 1.80× speedup at the reference's
+    200×100@8spp config, 4.04× at 1.77× at the 800×600@8spp deployment
+    config).  CPU probe measurements (seed 5): 2.48× at 100×50 (2:1),
+    3.66× at 120×90 (4:3); pinned with margin."""
     from raytracer_tpu.compare.harness import chandelier_comparison
 
     stats = chandelier_comparison(
@@ -60,14 +61,112 @@ def test_shipped_distilled_chandelier_improves_small_light_hits():
         save_png=False, out_dir="/tmp/_distilled_chandelier_check")
     assert stats["fb"]["fb_used"] > 0
     imp = stats["comparison"]["small_light_improvement"]
-    assert imp > 1.1, f"distilled small-light improvement degraded: {imp}"
+    assert imp > 1.5, f"distilled small-light improvement degraded: {imp}"
 
     stats43 = chandelier_comparison(
         model_path=str(MODELS / "fb_chandelier_distilled.npz"),
         width=120, height=90, samples_per_pixel=4, max_bounces=8, seed=5,
         save_png=False, out_dir="/tmp/_distilled_chandelier_check43")
     imp43 = stats43["comparison"]["small_light_improvement"]
-    assert imp43 > 2.0, f"4:3 distilled improvement degraded: {imp43}"
+    assert imp43 > 2.2, f"4:3 distilled improvement degraded: {imp43}"
+
+
+def test_best_of_teachers_selects_hitting_action():
+    """Outcome-selected ensemble targets (fb/distill.py
+    best_of_teachers_targets): with one teacher that aims exactly at a
+    small emissive sphere and one that aims away, the selected target must
+    be the hitting teacher's action (with the boosted weight), and ties on
+    no-hit obs must fall to the FIRST teacher."""
+    from raytracer_tpu.fb.distill import best_of_teachers_targets
+    from raytracer_tpu.scene.types import SceneBuilder
+    from raytracer_tpu.trace.sampling import direction_to_action
+
+    light_centre = np.array([0.0, 3.0, 0.0], np.float32)
+    b = SceneBuilder()
+    b.add_sphere((0.0, -100.0, 0.0), 99.0, id=1)           # floor
+    b.add_sphere(tuple(light_centre), 0.1, emitive=1.0, id=7)
+    scene, _, _ = b.build()
+
+    # Obs rows: surface points on the floor cap (normal up), the fields
+    # best_of_teachers_targets reads are point [0:3] and normal [6:9].
+    n = 64
+    rng = np.random.default_rng(0)
+    obs = np.zeros((n, 22), np.float32)
+    obs[:, 0] = rng.uniform(-0.5, 0.5, n)                  # x
+    obs[:, 1] = -1.0                                       # floor cap height
+    obs[:, 2] = rng.uniform(-0.5, 0.5, n)                  # z
+    obs[:, 7] = 1.0                                        # normal = +y
+
+    import jax.numpy as jnp
+    normal = jnp.asarray(obs[:, 6:9])
+    to_light = jnp.asarray(light_centre[None, :] - obs[:, 0:3])
+    to_light = to_light / jnp.linalg.norm(to_light, axis=-1, keepdims=True)
+    aim = np.asarray(direction_to_action(to_light, normal,
+                                         convention="renderer"))
+
+    def teacher_miss(o):                                   # grazing, misses
+        return jnp.full((o.shape[0], 2), jnp.asarray([0.99, 0.5]))
+
+    def teacher_hit(o):
+        return jnp.asarray(aim[: o.shape[0]])
+
+    targets, weights = best_of_teachers_targets(
+        scene, obs, [teacher_miss, teacher_hit], bonus=9.0)
+    np.testing.assert_allclose(targets, aim, atol=1e-6)
+    assert (weights == 19.0).all(), weights                # 1 + 9 emis + 9 small
+
+    # Both teachers missing (grazing rays, different azimuths) → tie at
+    # score 0 → first teacher's action.
+    def teacher_miss2(o):
+        return jnp.full((o.shape[0], 2), jnp.asarray([0.99, -0.5]))
+
+    targets2, weights2 = best_of_teachers_targets(
+        scene, obs, [teacher_miss, teacher_miss2], bonus=9.0)
+    np.testing.assert_allclose(targets2,
+                               np.asarray(teacher_miss(jnp.asarray(obs))))
+    assert (weights2 == 1.0).all()
+
+
+def test_hindsight_aim_targets_sharpen_hits_only():
+    """hindsight_aim_targets: a teacher action that lands on an emissive
+    sphere is relabelled with the EXACT centre aim (and boosted weight); a
+    missing action passes through unchanged at weight 1."""
+    from raytracer_tpu.fb.distill import hindsight_aim_targets
+    from raytracer_tpu.scene.types import SceneBuilder
+    from raytracer_tpu.trace.sampling import direction_to_action
+
+    light_centre = np.array([0.0, 3.0, 0.0], np.float32)
+    b = SceneBuilder()
+    b.add_sphere((0.0, -100.0, 0.0), 99.0, id=1)
+    b.add_sphere(tuple(light_centre), 0.1, emitive=1.0, id=7)
+    scene, _, _ = b.build()
+
+    import jax.numpy as jnp
+    n = 32
+    rng = np.random.default_rng(1)
+    obs = np.zeros((n, 22), np.float32)
+    obs[:, 0] = rng.uniform(-0.3, 0.3, n)
+    obs[:, 1] = -1.0
+    obs[:, 2] = rng.uniform(-0.3, 0.3, n)
+    obs[:, 7] = 1.0
+
+    normal = jnp.asarray(obs[:, 6:9])
+    to_light = jnp.asarray(light_centre[None, :] - obs[:, 0:3])
+    to_light = to_light / jnp.linalg.norm(to_light, axis=-1, keepdims=True)
+    exact = np.asarray(direction_to_action(to_light, normal,
+                                           convention="renderer"))
+    # Near-miss-free perturbation: tilt the aim within the light's
+    # subtense so the raw action still hits, but is not the exact centre.
+    approx = exact + np.array([0.004, 0.0], np.float32)
+
+    t_hit, w_hit = hindsight_aim_targets(scene, obs, approx)
+    np.testing.assert_allclose(t_hit, exact, atol=1e-5)
+    assert (w_hit == 19.0).all()
+
+    grazing = np.tile(np.array([[0.99, 0.5]], np.float32), (n, 1))
+    t_miss, w_miss = hindsight_aim_targets(scene, obs, grazing)
+    np.testing.assert_allclose(t_miss, grazing, atol=1e-7)
+    assert (w_miss == 1.0).all()
 
 
 def test_matched_signal_mode_spends_fewer_samples():
