@@ -71,6 +71,25 @@ def test_shipped_distilled_chandelier_improves_small_light_hits():
     assert imp43 > 2.2, f"4:3 distilled improvement degraded: {imp43}"
 
 
+@pytest.mark.skipif(
+    not (MODELS / "fb_complex_distilled.npz").exists(),
+    reason="shipped complex distilled model missing")
+def test_shipped_distilled_complex_improves_small_light_hits():
+    """The sharpened complex student (TPU, 200×100@8spp seed 5: 26.1×
+    small-light hits at 1.50× speedup — showcase/complex_comparison_trained)
+    must hold its win at the reduced CPU probe config (measured 25.6× at
+    100×50@4spp seed 5; pinned >10× for Poisson margin on 38 trad hits)."""
+    from raytracer_tpu.compare.harness import complex_comparison
+
+    stats = complex_comparison(
+        model_path=str(MODELS / "fb_complex_distilled.npz"),
+        width=100, height=50, samples_per_pixel=4, max_bounces=8, seed=5,
+        save_png=False, out_dir="/tmp/_distilled_complex_check")
+    assert stats["fb"]["fb_used"] > 0
+    imp = stats["comparison"]["small_light_improvement"]
+    assert imp > 10.0, f"complex distilled improvement degraded: {imp}"
+
+
 def test_best_of_teachers_selects_hitting_action():
     """Outcome-selected ensemble targets (fb/distill.py
     best_of_teachers_targets): with one teacher that aims exactly at a
