@@ -158,6 +158,15 @@ def main():
             extra["chandelier_fb_distilled_rays_per_sec"] = round(d_rps, 1)
             extra["fb_distilled_vs_traditional_speedup"] = round(
                 d_rps / trad_rps, 3)
+            # The research-claim metric, driver-legible: guided vs
+            # traditional small-light hits at the same config (same
+            # key/camera; traditional ran with the reference's
+            # mirror_threshold=0.0 chandelier semantics, as in
+            # compare/harness.py chandelier_comparison).
+            if int(stats.small_light_hits) > 0:
+                extra["chandelier_fb_distilled_small_light_improvement"] = (
+                    round(int(dstats.small_light_hits)
+                          / int(stats.small_light_hits), 3))
     except Exception as e:                                  # pragma: no cover
         log(f"fb-distilled bench failed: {e!r}")
 

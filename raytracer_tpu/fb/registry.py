@@ -1,0 +1,65 @@
+"""Deployment guide registry: pick the best shipped student for a
+(scene, camera config) — static dispatch at render SETUP time, so the
+traced program never branches.
+
+Why it exists: distilled students are camera-distribution-specific.
+Measured on the chandelier scene (TPU, equal spp, seed 5):
+
+* the all-around student (``fb_chandelier_distilled.npz``) wins every
+  config jointly — 2.49× small-light hits at 200×100@8spp, 4.04× at
+  1.77× speedup at 800×600@8spp;
+* the 2:1 SPECIALIST (``fb_chandelier_distilled_2to1.npz``) reaches
+  7.2× at the 2:1 aspect but collapses to 0.36× at 4:3.
+
+Cross-teacher target merging measurably fails (fb/distill.py
+``best_of_teachers_targets`` caveat), so when the camera is known the
+right deployment answer is per-config model choice — exactly like the
+reference's own per-scene checkpoints (its artifacts ship separate
+chandelier/complex models).  The registry encodes the measured winner per
+aspect band; unknown scenes fall back to scene-level discovery
+(``compare/workbench.py`` handles path conventions).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+_MODELS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "models")
+
+#: (scene_name, aspect_band) → shipped checkpoint.  Aspect bands:
+#: "wide" = width/height ≥ 1.8 (the reference's 2:1 comparison family),
+#: "standard" = everything else (4:3 deployment renders included).
+REGISTRY = {
+    ("chandelier", "wide"): "fb_chandelier_distilled_2to1.npz",
+    ("chandelier", "standard"): "fb_chandelier_distilled.npz",
+    ("complex", "wide"): "fb_complex_distilled.npz",
+    ("complex", "standard"): "fb_complex_distilled.npz",
+}
+
+
+def aspect_band(width: int, height: int) -> str:
+    return "wide" if width / max(height, 1) >= 1.8 else "standard"
+
+
+def model_path_for(scene_name: str, width: int, height: int,
+                   models_dir: Optional[str] = None) -> Optional[str]:
+    """Best shipped student checkpoint for this scene + camera, or None if
+    nothing registered/on disk."""
+    d = models_dir or _MODELS_DIR
+    name = REGISTRY.get((scene_name, aspect_band(width, height)))
+    if name is None:
+        return None
+    path = os.path.join(d, name)
+    return path if os.path.exists(path) else None
+
+
+def guide_for(scene_name: str, width: int, height: int,
+              models_dir: Optional[str] = None, dtype="auto"):
+    """Load the registered student and return its fused ``guide_fn`` (ready
+    for ``render_path(..., guide_fn=...)``), or None."""
+    path = model_path_for(scene_name, width, height, models_dir)
+    if path is None:
+        return None
+    from .distill import DistilledGuide
+    return DistilledGuide.load(path).as_guide_fn(dtype=dtype)

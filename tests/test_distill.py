@@ -112,6 +112,30 @@ def test_shipped_distilled_complex_improves_small_light_hits():
     assert imp > 10.0, f"complex distilled improvement degraded: {imp}"
 
 
+def test_guide_registry_routes_by_aspect():
+    """fb/registry.py: static per-camera model dispatch — 2:1 crops route
+    to the specialist, 4:3 to the all-around student; unknown scenes →
+    None; the returned guide is render-ready (fused spec attached)."""
+    from raytracer_tpu.fb import registry
+
+    assert registry.aspect_band(200, 100) == "wide"
+    assert registry.aspect_band(800, 600) == "standard"
+
+    wide = registry.model_path_for("chandelier", 200, 100)
+    std = registry.model_path_for("chandelier", 800, 600)
+    if wide is None or std is None:
+        pytest.skip("shipped chandelier students missing")
+    assert wide.endswith("fb_chandelier_distilled_2to1.npz")
+    assert std.endswith("fb_chandelier_distilled.npz")
+    assert registry.model_path_for("nonexistent_scene", 200, 100) is None
+
+    guide = registry.guide_for("chandelier", 200, 100, dtype=None)
+    import jax.numpy as jnp
+    out = np.asarray(guide(jnp.zeros((4, 22), jnp.float32)))
+    assert out.shape == (4, 2) and np.isfinite(out).all()
+    assert hasattr(guide, "_fused_spec")
+
+
 def test_best_of_teachers_selects_hitting_action():
     """Outcome-selected ensemble targets (fb/distill.py
     best_of_teachers_targets): with one teacher that aims exactly at a
