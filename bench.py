@@ -170,6 +170,34 @@ def main():
     except Exception as e:                                  # pragma: no cover
         log(f"fb-distilled bench failed: {e!r}")
 
+    # --- the DEPLOYED guide: per-camera registry dispatch -------------------
+    # fb/registry.py routes this 2:1 config to the specialist student —
+    # same 128x128 arch as the all-around model, so this reuses the
+    # compiled program above with different params (no extra compile).
+    try:
+        from raytracer_tpu.fb.registry import guide_for
+        rguide = guide_for("chandelier", W, H)
+        if rguide is not None:
+            def run_fbr(k=key):
+                return render_path(scene, k, width=W, height=H, spp=SPP,
+                                   max_bounces=MB,
+                                   camera_position=p["camera_position"],
+                                   mirror_threshold=0.9, guide_fn=rguide,
+                                   fb_prob=1.0, impl="stepwise")
+
+            rdt, (rimg, rstats) = time_steady(run_fbr)
+            r_rps = int(rstats.total_rays) / rdt
+            log(f"fb-registry: {rdt*1e3:.1f} ms/frame, "
+                f"{int(rstats.total_rays):,} rays, {r_rps/1e6:.2f} Mrays/s")
+            extra["fb_registry_vs_traditional_speedup"] = round(
+                r_rps / trad_rps, 3)
+            if int(stats.small_light_hits) > 0:
+                extra["chandelier_fb_registry_small_light_improvement"] = (
+                    round(int(rstats.small_light_hits)
+                          / int(stats.small_light_hits), 3))
+    except Exception as e:                                  # pragma: no cover
+        log(f"fb-registry bench failed: {e!r}")
+
     # --- at-scale path tracing: 800x600 @ 8spp (the reference's own
     # traditional-render size, traditional_renders/*_stats.txt) ------------
     # At 3.8M camera samples the per-level dispatch overhead amortizes out;
