@@ -178,8 +178,13 @@ class TrainedFBAgent:
         actions are a sampler steer, not geometry, so precision headroom is
         ample.  Non-TPU backends keep f32 (exact parity with the float64
         oracle tests).  Pass an explicit dtype (or None for f32) to
-        override.
+        override.  ``dtype="int8"`` selects the dynamically-quantized
+        int8 policy (fb/quantize.py) — int8 MXU matmuls at 2× the bf16
+        rate.
         """
+        if dtype == "int8":
+            from .quantize import make_int8_guide
+            return make_int8_guide(self)
         if dtype == "auto":
             dtype = (jnp.bfloat16
                      if jax.default_backend() not in ("cpu", "gpu")
