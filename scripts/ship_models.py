@@ -34,14 +34,32 @@ def _force_cpu(args):
         jax.config.update("jax_platforms", "cpu")
 
 
+def _override_config(args, base):
+    """Apply --z-dim/--e-hidden/--f-hidden/--b-hidden on top of a trainer's
+    default config; returns None (keep the default) when no flag is set."""
+    import dataclasses
+    if not any(v is not None for v in (args.z_dim, args.e_hidden,
+                                       args.f_hidden, args.b_hidden)):
+        return None
+    return dataclasses.replace(
+        base,
+        z_dim=args.z_dim or base.z_dim,
+        e_hidden_dim=args.e_hidden or base.e_hidden_dim,
+        f_hidden_dim=args.f_hidden or base.f_hidden_dim,
+        b_hidden_dim=args.b_hidden or base.b_hidden_dim)
+
+
 def cmd_train_chandelier(args):
     _force_cpu(args)
+    from raytracer_tpu.fb.config import FBConfig
     from raytracer_tpu.fb.trainer import ChandelierOnlyTrainer
 
+    cfg = _override_config(args, FBConfig(max_bounces=8, f_hidden_dim=512,
+                                          b_hidden_dim=256))
     tr = ChandelierOnlyTrainer(num_training_scenes=args.scenes,
                                seed=args.seed,
                                output_dir=args.workdir,
-                               guide_prob=0.0)
+                               guide_prob=0.0, config=cfg)
     # Guide-in-the-loop curriculum: random-walk exploration until the agent
     # has a light prototype and a useful policy, then ramp the fraction of
     # policy-driven steps so experience tracks the improving policy.
@@ -65,11 +83,13 @@ def cmd_train_chandelier(args):
 
 def cmd_train_complex(args):
     _force_cpu(args)
+    from raytracer_tpu.fb.config import FBConfig
     from raytracer_tpu.fb.trainer import RayTracedComplexTrainer
 
+    cfg = _override_config(args, FBConfig(max_bounces=8))
     tr = RayTracedComplexTrainer(num_training_scenes=args.scenes,
                                  seed=args.seed, output_dir=args.workdir,
-                                 guide_prob=0.0)
+                                 guide_prob=0.0, config=cfg)
     chunks = [(args.scenes // 4, 0.0), (args.scenes // 4, 0.25),
               (args.scenes // 2, args.guide_prob)]
     for n, gp in chunks:
@@ -87,13 +107,17 @@ def cmd_train_multi(args):
     """Reference protocol (fb_multi_scene_training_*): 100 scenes cycling
     the 8 templates, 150 walker episodes per scene; report average hit
     rate to compare against the reference's recorded 34.7%
-    (final_training_report.json)."""
+    (final_training_report.json).  ``--z-dim/--e-hidden/--f-hidden/
+    --b-hidden`` override the report config for model-size scaling
+    experiments (the shipped model keeps the reference config)."""
     _force_cpu(args)
+    from raytracer_tpu.fb.config import FBConfig
     from raytracer_tpu.fb.trainer import MultiSceneFBTrainer
 
+    cfg = _override_config(args, FBConfig())
     tr = MultiSceneFBTrainer(num_training_scenes=args.scenes,
                              seed=args.seed, output_dir=args.workdir,
-                             guide_prob=0.0)
+                             guide_prob=0.0, config=cfg)
     chunks = [(args.scenes // 4, 0.0), (args.scenes // 4, 0.25),
               (args.scenes // 2, args.guide_prob)]
     report = None
@@ -109,6 +133,101 @@ def cmd_train_multi(args):
                       "by_type": report["scene_type_performance"]},
                      indent=2))
     print(f"saved multi-scene agent → {out}")
+
+
+def _config_from_ckpt(path):
+    """Rebuild the FBConfig a checkpoint was trained with (save_fb stores
+    config.to_dict() in the npz __meta__), so eval works for any model
+    size without flag plumbing."""
+    import dataclasses
+    import json as _json
+
+    import numpy as np
+
+    from raytracer_tpu.fb.config import FBConfig
+
+    meta = _json.loads(str(np.load(path, allow_pickle=False)["__meta__"]))
+    fields = {f.name for f in dataclasses.fields(FBConfig)}
+    return FBConfig(**{k: v for k, v in meta.get("config", {}).items()
+                       if k in fields})
+
+
+def cmd_eval_multi(args):
+    """Held-out multi-scene evaluation — the STRICT episode hit fraction
+    (did a ≤max_bounces walk land exactly on an emissive sphere) of the
+    deterministic policy with a per-scene light prototype, against the
+    cosine random walk, on scenes the trainer never saw (seeds 1000+,
+    cycling the 8 templates).  This pins the provenance of the "1.9×
+    held-out" number in STATUS.md / the shipped report."""
+    _force_cpu(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracer_tpu.fb.agent import FBResearchAgent
+    from raytracer_tpu.fb.inference import (TrainedFBAgent,
+                                            small_light_indices)
+    from raytracer_tpu.fb.trainer import _CYCLE
+    from raytracer_tpu.fb.trajectory import generate_trajectories
+    from raytracer_tpu.scene import templates
+
+    cfg = _config_from_ckpt(args.model)
+    agent = FBResearchAgent(cfg, seed=0)
+    agent.load(args.model)
+    key = jax.random.key(args.seed)
+    rows = []
+    for i in range(args.scenes):
+        stype = _CYCLE[i % len(_CYCLE)]
+        scene, name = templates.generate_scene(stype, 1000 + i, pad_to=64)
+        idx = small_light_indices(scene)
+        if idx.size == 0:
+            em = np.asarray(scene.emitive) > 0
+            real = np.asarray(scene.radius) > 0
+            idx = np.nonzero(em & real)[0]
+        ta = TrainedFBAgent(args.model, scene, idx, (0.0, 2.0, 0.0),
+                            config=cfg)
+        proto = jnp.asarray(ta.light_prototype)
+        key, kp, kr = jax.random.split(key, 3)
+        pol = generate_trajectories(
+            scene, kp, num_walkers=args.episodes,
+            max_steps=cfg.max_bounces, start_bias="small",
+            guide_apply=agent.guide_apply, guide_params=agent.params,
+            guide_proto=proto, guide_prob=1.0, guide_noise=0.0)
+        rnd = generate_trajectories(
+            scene, kr, num_walkers=args.episodes,
+            max_steps=cfg.max_bounces, start_bias="small")
+        rows.append({
+            "scene": name, "scene_type": stype.split("_")[0],
+            "policy_hit_rate": float(np.asarray(pol.episode_hit).mean()),
+            "random_hit_rate": float(np.asarray(rnd.episode_hit).mean()),
+        })
+        if (i + 1) % 20 == 0:
+            print(f"[eval-multi] {i + 1}/{args.scenes} scenes", flush=True)
+    p_all = float(np.mean([r["policy_hit_rate"] for r in rows]))
+    r_all = float(np.mean([r["random_hit_rate"] for r in rows]))
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["scene_type"], []).append(
+            (r["policy_hit_rate"], r["random_hit_rate"]))
+    report = {
+        "model": str(args.model),
+        "num_scenes": args.scenes,
+        "episodes_per_scene": args.episodes,
+        "seed": args.seed,
+        "policy_hit_rate": p_all,
+        "random_hit_rate": r_all,
+        "ratio": (p_all / r_all) if r_all > 0 else None,
+        "by_type": {t: {"policy": float(np.mean([p for p, _ in v])),
+                        "random": float(np.mean([r for _, r in v]))}
+                    for t, v in by_type.items()},
+    }
+    out = args.out or "models/fb_multi_scene_held_out.json"
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: report[k] for k in
+                      ("policy_hit_rate", "random_hit_rate", "ratio")},
+                     indent=2))
+    print(f"wrote {out}")
 
 
 def _scene_setup(which: str):
@@ -199,7 +318,20 @@ def main(argv=None):
         c.add_argument("--out", default=None)
         c.add_argument("--workdir", default="/tmp/fb_ship_training")
         c.add_argument("--tpu", action="store_true")
+        c.add_argument("--z-dim", type=int, default=None)
+        c.add_argument("--e-hidden", type=int, default=None)
+        c.add_argument("--f-hidden", type=int, default=None)
+        c.add_argument("--b-hidden", type=int, default=None)
         c.set_defaults(fn=fn)
+
+    em = sub.add_parser("eval-multi")
+    em.add_argument("--model", default="models/fb_multi_scene_trained.npz")
+    em.add_argument("--scenes", type=int, default=100)
+    em.add_argument("--episodes", type=int, default=256)
+    em.add_argument("--seed", type=int, default=0)
+    em.add_argument("--out", default=None)
+    em.add_argument("--tpu", action="store_true")
+    em.set_defaults(fn=cmd_eval_multi)
 
     d = sub.add_parser("distill")
     d.add_argument("--scene", choices=["chandelier", "complex"],
