@@ -77,6 +77,11 @@ class MultiSceneFBTrainer:
     # wall-heavy scenes — see fb/trajectory.py).
     START_BIAS = "small"
 
+    # Fraction of walkers starting on wall surfaces when START_BIAS is
+    # "mixed" (traced scalar in fb/trajectory.py — curricula can anneal it
+    # per scene without recompiling).
+    WALL_FRAC = 0.35
+
     # Hindsight relabelling: every step of a light-reaching episode is
     # re-recorded with the terminal light observation as its backward
     # target — the sparse terminal success supervises the whole path, which
@@ -100,7 +105,8 @@ class MultiSceneFBTrainer:
                                 self.agent.config.min_noise))
         batch = generate_trajectories(scene, k, num_walkers=episodes,
                                       max_steps=self.config.max_bounces,
-                                      start_bias=self.START_BIAS, **gkw)
+                                      start_bias=self.START_BIAS,
+                                      wall_frac=self.WALL_FRAC, **gkw)
         # Deployment conditions the backward model on the SMALL-light
         # prototype (fb/inference.py small_light_indices): on scenes that
         # have small lights, the success signal (10x loss weight +

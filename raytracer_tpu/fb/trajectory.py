@@ -50,7 +50,8 @@ def generate_trajectories(scene: Scene, key: jax.Array, *,
                           start_bias: str = "uniform",
                           guide_apply=None, guide_params=None,
                           guide_proto=None, guide_prob=0.0,
-                          guide_noise=0.1) -> TrajectoryBatch:
+                          guide_noise=0.1,
+                          wall_frac: float = 0.35) -> TrajectoryBatch:
     """``start_bias``:
 
     * ``"uniform"`` — the reference's ``random.choice(non_light)``
@@ -121,7 +122,11 @@ def generate_trajectories(scene: Scene, key: jax.Array, *,
         delta = target - wc
         nrm = delta / jnp.maximum(
             jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True)), 1e-9)
-        use_wall = ((jax.random.uniform(k_mix, (W,)) < 0.35)
+        # ``wall_frac`` rides as a traced scalar (one compile for any
+        # schedule): the fraction of walkers starting on wall surfaces;
+        # 0.35 is the shipped v4/v5 recipe, curricula can anneal it.
+        use_wall = ((jax.random.uniform(k_mix, (W,))
+                     < jnp.asarray(wall_frac, dtype))
                     & jnp.any(wall) & jnp.any(core))
         idx0 = jnp.where(use_wall, idx_w, idx0)
         point0 = jnp.where(use_wall[:, None],
