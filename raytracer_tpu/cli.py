@@ -192,6 +192,139 @@ def cmd_demo(args):
     print(f"total reward: {float(np.asarray(state.total_reward)[0]):+.3f}")
 
 
+INTEGRATION_EXAMPLE = '''\
+# Integration: trained policy as a sampling guide inside a renderer
+# (the TPU-native form of RL/ray_tracer_rl_complete.py:268-426's template).
+import jax
+from raytracer_tpu.compare.workbench import load_policy
+from raytracer_tpu.compare.rl_renderer import RayTracerRL
+from raytracer_tpu.env.raytracer_env import RayTracerEnv
+from raytracer_tpu.env.scenes import training_scene_complete
+
+scene, gl, pl = training_scene_complete()
+env = RayTracerEnv(scene, image_width=400, image_height=300, fov=75,
+                   max_bounces=8, global_lights=gl, point_lights=pl)
+policy = load_policy("raytracer_sac_model.pkl", env)   # or an SB3 .zip via
+                                                       # utils/sb3_import.py
+renderer = RayTracerRL(model_path="raytracer_sac_model.pkl")
+renderer.render_comparison(width=200, height=150)
+
+# FB guides plug into the path tracer the same way:
+#   render_path(scene, key, ..., guide_fn=guide, fb_prob=1.0)
+# with guide = fb.registry.guide_for(scene_name, width, height).
+# Full walk-through: docs/INTEGRATION.md.
+'''
+
+
+def cmd_interactive(args, input_fn=input):
+    """The reference's ``input()`` menu flows as one subcommand
+    (RL/ray_tracer_rl_complete.py:498-545 options menu;
+    RL/train_raytracer_improved.py:349-412 training-mode menu).  Invalid or
+    EOF input falls back to option 1, as in the reference."""
+    from .agents.sac import SACConfig, SACTrainer
+    from .compare.workbench import (check_model_exists, compare_rl_vs_random,
+                                    evaluate_policy, load_policy)
+
+    def ask(prompt, default):
+        try:
+            return input_fn(prompt) or default
+        except Exception:
+            return default
+
+    print("=" * 80)
+    print("RAY TRACING REINFORCEMENT LEARNING - COMPLETE SOLUTION")
+    print("=" * 80)
+    print("\nOptions:")
+    print("1. Train a new model")
+    print("2. Evaluate existing model")
+    print("3. Demonstrate model behavior")
+    print("4. Show integration example")
+    print("5. Run performance benchmark (RL vs random)")
+    print("6. Full pipeline (train -> evaluate -> benchmark)")
+    try:
+        choice = int(ask("\nSelect option (1-6): ", "1"))
+    except Exception:
+        choice = 1
+
+    if choice == 1:
+        # The improved-training sub-menu (train_raytracer_improved.py:355-364)
+        print("\nTraining Modes:")
+        print("1. Standard training (faster)")
+        print("2. Curriculum learning (better results, slower)")
+        print("3. Continue from saved model")
+        try:
+            mode = int(ask("\nSelect mode (1-3): ", "1"))
+        except Exception:
+            mode = 1
+        timesteps = int(ask("Training timesteps (e.g., 20000): ", "20000"))
+        name = ask("Model name (e.g., raytracer_sac): ", "raytracer_sac")
+        if mode == 2:
+            from .agents.adaptive import train_with_curriculum
+            from .env.raytracer_env import RayTracerEnv
+            from .env.scenes import dynamic_scene
+
+            def phase_env(phase):
+                scene, gl, pl = dynamic_scene(phase)
+                return RayTracerEnv(scene, image_width=800, image_height=600,
+                                    fov=90, max_bounces=5, global_lights=gl,
+                                    point_lights=pl)
+
+            t3 = max(1, timesteps // 3)
+            tr, _ = train_with_curriculum(phase_env, SACTrainer,
+                                          steps_per_phase=(t3, t3, t3),
+                                          seed=args.seed)
+            env = tr.env
+        else:
+            env = _make_rl_env()
+            tr = SACTrainer(env, SACConfig(), seed=args.seed)
+            if mode == 3:
+                path = check_model_exists(name)
+                if path is not None:
+                    tr.load(str(path))
+                    print(f"Loaded existing model: {path}")
+                else:
+                    print("No saved model found, starting fresh")
+            print(json.dumps(tr.train(timesteps)))
+        tr.save(f"{name}.pkl")
+        policy = lambda obs: tr.predict(obs, deterministic=True)
+        print(json.dumps(evaluate_policy(env, policy, episodes=20)))
+    elif choice == 2:
+        name = ask("Model name (without .zip): ", "raytracer_sac_model")
+        env = _make_rl_env()
+        path = check_model_exists(name)
+        if path is None:
+            print(f"Model '{name}' not found")
+            return
+        policy = load_policy(str(path), env)
+        print(json.dumps(evaluate_policy(env, policy, episodes=20)))
+    elif choice == 3:
+        cmd_demo(args)
+    elif choice == 4:
+        print("\n" + "=" * 80)
+        print("INTEGRATION EXAMPLE")
+        print("=" * 80)
+        print(INTEGRATION_EXAMPLE)
+    elif choice == 5:
+        env = _make_rl_env()
+        name = ask("Model name (blank = random policy): ", "")
+        path = check_model_exists(name) if name else None
+        if path is not None:
+            policy = load_policy(str(path), env)
+        else:
+            # reference-style graceful fallback: uniform-random policy
+            import numpy as np
+            rng = np.random.default_rng(args.seed)
+            policy = lambda obs: rng.uniform(
+                [0.0, 0.0], [np.pi / 2, 2 * np.pi], size=(obs.shape[0], 2))
+        print(json.dumps(compare_rl_vs_random(env, policy, episodes=50),
+                         indent=2))
+    else:
+        args.timesteps = int(ask("Training timesteps (e.g., 20000): ",
+                                 "20000"))
+        args.out = "raytracer_final.pkl"
+        cmd_rl_pipeline(args)
+
+
 def cmd_rl_pipeline(args):
     """The full pipeline of RL/ray_tracer_rl_complete.py: train → evaluate →
     benchmark RL vs random."""
@@ -297,6 +430,10 @@ def main(argv=None):
     dm = sub.add_parser("demo")
     dm.add_argument("--seed", type=int, default=0)
     dm.set_defaults(fn=cmd_demo)
+
+    it = sub.add_parser("interactive")
+    it.add_argument("--seed", type=int, default=0)
+    it.set_defaults(fn=cmd_interactive)
 
     rp = sub.add_parser("rl-pipeline")
     rp.add_argument("--timesteps", type=int, default=20_000)

@@ -33,6 +33,27 @@ def test_quantise_matches_numpy():
     np.testing.assert_array_equal(native, ref)
 
 
+def test_cli_interactive_menu(capsys):
+    """The reference's input() menu flows (RL/ray_tracer_rl_complete.py:
+    498-545) as the `interactive` subcommand, with injected input."""
+    import argparse
+
+    from raytracer_tpu.cli import cmd_interactive
+
+    args = argparse.Namespace(seed=0)
+    feeds = iter(["4"])                      # show integration example
+    cmd_interactive(args, input_fn=lambda _: next(feeds))
+    out = capsys.readouterr().out
+    assert "4. Show integration example" in out
+    assert "INTEGRATION EXAMPLE" in out
+    assert "guide_fn" in out
+
+    feeds = iter(["2", "no_such_model_xyz"])  # evaluate: missing model
+    cmd_interactive(args, input_fn=lambda _: next(feeds))
+    out = capsys.readouterr().out
+    assert "not found" in out
+
+
 def test_cli_render(tmp_path):
     out = tmp_path / "r.png"
     cmd = [sys.executable, "-m", "raytracer_tpu.cli", "render",
