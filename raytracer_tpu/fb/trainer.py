@@ -47,7 +47,8 @@ class MultiSceneFBTrainer:
     def __init__(self, num_training_scenes: int = 100,
                  config: Optional[FBConfig] = None,
                  output_dir: Optional[str] = None, seed: int = 0,
-                 guide_prob: float = 0.0):
+                 guide_prob: float = 0.0,
+                 resume_from: Optional[str] = None):
         self.config = config or FBConfig()
         # Guide-in-the-loop: fraction of walk steps that follow the
         # current (noisy) policy instead of the cosine random walk, once
@@ -63,6 +64,13 @@ class MultiSceneFBTrainer:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self._key = jax.random.key(seed + 17)
         self.all_performances: list[dict] = []
+        # Continue-training flow (the FB-track analog of the reference's
+        # "3. Continue from saved model" menu, train_raytracer_improved.py:
+        # 397-409): restore params / noise schedule / light memory from a
+        # final or per-batch checkpoint.  Optimizer state and the replay
+        # buffer restart empty — crash recovery, not bit-exact resume.
+        if resume_from:
+            self.agent.load(resume_from)
 
     # -- scene supply (overridden by subclasses) ---------------------------
     def make_scene(self, i: int):
@@ -155,11 +163,15 @@ class MultiSceneFBTrainer:
     # -- main loop ---------------------------------------------------------
     def run_training(self, num_scenes: Optional[int] = None,
                      scenes_per_batch: int = 20,
-                     training_steps_per_scene: int = 150) -> dict:
+                     training_steps_per_scene: int = 150,
+                     scene_offset: int = 0) -> dict:
+        """``scene_offset`` shifts the variation sequence so a resumed run
+        continues with scenes the interrupted run never saw (pass the
+        number of scenes already trained)."""
         num_scenes = num_scenes or self.num_training_scenes
         t0 = time.time()
         for i in range(num_scenes):
-            scene, name, stype = self.make_scene(i)
+            scene, name, stype = self.make_scene(scene_offset + i)
             hit_rate = self.train_on_scene(scene, name,
                                            episodes=training_steps_per_scene)
             self.all_performances.append({

@@ -114,6 +114,36 @@ def test_trainer_end_to_end(tmp_path):
     assert 0.0 <= held["agent_hit_rate"] <= 1.0
 
 
+def test_trainer_resume_from_checkpoint(tmp_path):
+    """Continue-training flow: a new trainer restores agent state from a
+    prior run's checkpoint and keeps training on unseen variations."""
+    import numpy as np
+
+    tr = MultiSceneFBTrainer(num_training_scenes=4, config=_tiny_cfg(),
+                             output_dir=tmp_path / "a")
+    tr.run_training(num_scenes=4, scenes_per_batch=4,
+                    training_steps_per_scene=16)
+    tr.agent.noise_scale = 0.0321   # distinctive resume state
+    ckpt = tmp_path / "a" / "ckpt.npz"
+    tr.agent.save(ckpt)
+
+    tr2 = MultiSceneFBTrainer(num_training_scenes=4, config=_tiny_cfg(),
+                              output_dir=tmp_path / "b",
+                              resume_from=str(ckpt))
+    assert tr2.agent.noise_scale == pytest.approx(0.0321)
+    assert tr2.agent.updates == tr.agent.updates
+    w0 = np.asarray(jax.tree_util.tree_leaves(tr.agent.params.encoder)[0])
+    w1 = np.asarray(jax.tree_util.tree_leaves(tr2.agent.params.encoder)[0])
+    np.testing.assert_array_equal(w0, w1)
+    # Resumed run continues the variation sequence past the first run.
+    s_new, name_new, _ = tr2.make_scene(4)
+    _, name_old, _ = tr.make_scene(0)
+    assert name_new != name_old
+    report = tr2.run_training(num_scenes=2, scenes_per_batch=2,
+                              training_steps_per_scene=16, scene_offset=4)
+    assert report["performance_statistics"]["total_scenes_trained"] == 2
+
+
 def test_chandelier_and_complex_trainers(tmp_path):
     tr = ChandelierOnlyTrainer(num_training_scenes=2, output_dir=tmp_path / "c")
     s, name, stype = tr.make_scene(0)
