@@ -59,7 +59,8 @@ def cmd_train_chandelier(args):
     tr = ChandelierOnlyTrainer(num_training_scenes=args.scenes,
                                seed=args.seed,
                                output_dir=args.workdir,
-                               guide_prob=0.0, config=cfg)
+                               guide_prob=0.0, config=cfg,
+                               resume_from=args.resume_from)
     # Guide-in-the-loop curriculum: random-walk exploration until the agent
     # has a light prototype and a useful policy, then ramp the fraction of
     # policy-driven steps so experience tracks the improving policy.
@@ -89,7 +90,8 @@ def cmd_train_complex(args):
     cfg = _override_config(args, FBConfig(max_bounces=8))
     tr = RayTracedComplexTrainer(num_training_scenes=args.scenes,
                                  seed=args.seed, output_dir=args.workdir,
-                                 guide_prob=0.0, config=cfg)
+                                 guide_prob=0.0, config=cfg,
+                                 resume_from=args.resume_from)
     chunks = [(args.scenes // 4, 0.0), (args.scenes // 4, 0.25),
               (args.scenes // 2, args.guide_prob)]
     for n, gp in chunks:
@@ -117,7 +119,8 @@ def cmd_train_multi(args):
     cfg = _override_config(args, FBConfig())
     tr = MultiSceneFBTrainer(num_training_scenes=args.scenes,
                              seed=args.seed, output_dir=args.workdir,
-                             guide_prob=0.0, config=cfg)
+                             guide_prob=0.0, config=cfg,
+                             resume_from=args.resume_from)
     chunks = [(args.scenes // 4, 0.0), (args.scenes // 4, 0.25),
               (args.scenes // 2, args.guide_prob)]
     report = None
@@ -317,6 +320,9 @@ def main(argv=None):
         c.add_argument("--seed", type=int, default=0)
         c.add_argument("--out", default=None)
         c.add_argument("--workdir", default="/tmp/fb_ship_training")
+        c.add_argument("--resume-from", default=None,
+                       help="continue training from a saved checkpoint "
+                            "(final or per-batch npz)")
         c.add_argument("--tpu", action="store_true")
         c.add_argument("--z-dim", type=int, default=None)
         c.add_argument("--e-hidden", type=int, default=None)
