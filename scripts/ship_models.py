@@ -64,17 +64,25 @@ def cmd_train_chandelier(args):
     # Guide-in-the-loop curriculum: random-walk exploration until the agent
     # has a light prototype and a useful policy, then ramp the fraction of
     # policy-driven steps so experience tracks the improving policy.
+    # ``--wall-schedule`` sets the wall-start fraction per chunk (three
+    # values) so the start-point mix can be a curriculum too — wall_frac is
+    # a traced scalar in fb/trajectory.py, so any schedule shares one
+    # compile.  Default = the shipped v4/v5 recipe (constant 0.35).
     chunks = [(args.scenes // 4, 0.0), (args.scenes // 4, 0.25),
               (args.scenes // 2, args.guide_prob)]
+    wall = args.wall_schedule or [tr.WALL_FRAC] * len(chunks)
+    assert len(wall) == len(chunks), "--wall-schedule needs 3 values"
     done = 0
-    for n, gp in chunks:
+    for (n, gp), wf in zip(chunks, wall):
         tr.guide_prob = gp
+        tr.WALL_FRAC = wf
         tr.num_training_scenes = n
         tr.run_training(num_scenes=n, scenes_per_batch=20,
                         training_steps_per_scene=args.steps)
         done += n
-        print(f"[train-chandelier] {done} scenes done (guide_prob={gp}), "
-              f"noise={tr.agent.noise_scale:.4f}", flush=True)
+        print(f"[train-chandelier] {done} scenes done (guide_prob={gp}, "
+              f"wall_frac={wf}), noise={tr.agent.noise_scale:.4f}",
+              flush=True)
     out = args.out or "models/fb_chandelier_trained.npz"
     tr.agent.save(out)
     held = tr.test_on_chandelier(num_tests=500)
@@ -323,6 +331,10 @@ def main(argv=None):
         c.add_argument("--resume-from", default=None,
                        help="continue training from a saved checkpoint "
                             "(final or per-batch npz)")
+        c.add_argument("--wall-schedule", type=float, nargs=3, default=None,
+                       help="wall-start fraction per curriculum chunk "
+                            "(train-chandelier only; default 0.35 0.35 "
+                            "0.35, the shipped v4/v5 recipe)")
         c.add_argument("--tpu", action="store_true")
         c.add_argument("--z-dim", type=int, default=None)
         c.add_argument("--e-hidden", type=int, default=None)
