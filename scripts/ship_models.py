@@ -362,7 +362,7 @@ def main(argv=None):
     d.add_argument("--bonus", type=float, default=9.0)
     d.add_argument("--seed", type=int, default=0)
     d.add_argument("--sharpen", action="store_true",
-                   help="hindsight aim-sharpened targets (measured +22% "
+                   help="hindsight aim-sharpened targets (measured +22%% "
                         "rendered small-light improvement)")
     d.add_argument("--tpu", action="store_true")
     d.set_defaults(fn=cmd_distill)
