@@ -61,6 +61,68 @@ def cmd_render(args):
           f"({h * w / dt / 1e6:.2f} Mrays/s)")
 
 
+def cmd_animate(args):
+    """Turntable animation: F look-at frames rendered in ONE device
+    dispatch (render/animation.py) — the serving-path showcase.  Writes
+    frame_%03d.png (+ a contact sheet) and a stats JSON."""
+    import os
+
+    import numpy as np
+    from .render.animation import (camera_path_rays, orbit_eyes,
+                                   render_whitted_frames, scene_focus)
+    from .scene import library
+    from .utils.io import save_image
+
+    fn = {"true_original": library.true_original_scene,
+          "planets2": library.planets2_scene,
+          "marbles4": library.marbles4_scene,
+          "chandelier": library.chandelier_scene,
+          "custom": library.custom_scene}[args.scene]
+    scene, gl, pl, p = fn()
+    target = (np.asarray(args.target, float) if args.target
+              else scene_focus(scene))
+    cam = np.asarray(p["camera_position"], float)
+    radius = (args.radius if args.radius is not None
+              else float(np.hypot(*(cam - target)[[0, 2]])) or 3.0)
+    y = args.y if args.y is not None else float(cam[1])
+    eyes = orbit_eyes(target, radius, y, args.frames, sweep=args.sweep)
+    origins, dirs = camera_path_rays(eyes, target, args.width, args.height,
+                                     fov=args.fov)
+
+    bounces = args.bounces or p["max_bounces"]
+    t0 = time.time()
+    frames = render_whitted_frames(scene, gl, pl, origins, dirs,
+                                   args.height, args.width,
+                                   max_bounces=bounces,
+                                   background=p["background"],
+                                   miss_colour=p.get("sky_colour"))
+    frames.block_until_ready()
+    dt = time.time() - t0
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    arr = (np.clip(np.asarray(frames), 0, 1) * 255).astype(np.uint8)
+    for i in range(arr.shape[0]):
+        save_image(os.path.join(args.out_dir, f"frame_{i:03d}.png"), arr[i])
+    cols = min(args.frames, 6)
+    rows = -(-args.frames // cols)
+    sheet = np.zeros((rows * args.height, cols * args.width, 3), np.uint8)
+    for i in range(arr.shape[0]):
+        r, c = divmod(i, cols)
+        sheet[r * args.height:(r + 1) * args.height,
+              c * args.width:(c + 1) * args.width] = arr[i]
+    save_image(os.path.join(args.out_dir, "contact_sheet.png"), sheet)
+    rays = args.frames * args.width * args.height
+    stats = {"frames": args.frames, "width": args.width,
+             "height": args.height, "bounces": bounces,
+             "wall_s": round(dt, 4), "ms_per_frame": round(dt * 1e3 / args.frames, 3),
+             "mrays_per_s": round(rays / dt / 1e6, 2),
+             "target": [round(float(v), 4) for v in np.asarray(target)],
+             "radius": round(radius, 4), "y": round(y, 4)}
+    with open(os.path.join(args.out_dir, "animation_stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps(stats))
+
+
 def _make_rl_env(variant="rl", max_bounces=5):
     from .env.raytracer_env import RayTracerEnv
     from .env.scenes import training_scene_v1
@@ -382,6 +444,26 @@ def main(argv=None):
     r.add_argument("--height", type=int, default=600)
     r.add_argument("--multiple", type=int, default=None)
     r.set_defaults(fn=cmd_render)
+
+    an = sub.add_parser("animate", help="orbit animation, all frames in "
+                                        "one device dispatch")
+    an.add_argument("--scene", default="chandelier",
+                    choices=["true_original", "planets2", "marbles4",
+                             "chandelier", "custom"])
+    an.add_argument("--frames", type=int, default=12)
+    an.add_argument("--width", type=int, default=320)
+    an.add_argument("--height", type=int, default=240)
+    an.add_argument("--fov", type=float, default=60.0)
+    an.add_argument("--bounces", type=int, default=None)
+    an.add_argument("--radius", type=float, default=None,
+                    help="orbit radius (default: camera↔target distance)")
+    an.add_argument("--y", type=float, default=None,
+                    help="camera height (default: the scene camera's y)")
+    an.add_argument("--sweep", type=float, default=6.283185307179586,
+                    help="arc in radians (default full turn)")
+    an.add_argument("--target", type=float, nargs=3, default=None)
+    an.add_argument("--out-dir", default="animation_out")
+    an.set_defaults(fn=cmd_animate)
 
     for name, fn in [("train-ppo", cmd_train_ppo), ("train-sac", cmd_train_sac)]:
         t = sub.add_parser(name)

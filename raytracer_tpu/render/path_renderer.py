@@ -65,6 +65,40 @@ def _render_path_fused(scene, key, *, width, height, spp, max_bounces, fov,
     return img, stats
 
 
+@partial(jax.jit, static_argnames=("width", "height", "spp_chunk", "chunks",
+                                   "max_bounces", "mirror_threshold",
+                                   "guide_fn", "fov", "collect_stats"))
+def _render_path_chunked(scene, key, *, width, height, spp_chunk, chunks,
+                         max_bounces, fov, camera_position, mirror_threshold,
+                         background, guide_fn, fb_prob, collect_stats):
+    """High-spp render at bounded memory in ONE dispatch: ``lax.map`` over
+    ``chunks`` independent ``spp_chunk``-sample sub-renders, accumulating
+    integer sample sums, then ONE ``floor(total / spp_total)`` — exactly
+    the reference's integer ``//spp`` average semantics
+    (FB/fb_vs_traditional_complex.py:391-422) applied to the full sample
+    set, while only ``spp_chunk × H × W`` rays are ever live."""
+    keys = jax.random.split(key, chunks)
+
+    def one(k):
+        k_jit, k_trace = jax.random.split(k)
+        origins, dirs = _camera_bundle(
+            k_jit, width=width, height=height, spp=spp_chunk, fov=fov,
+            camera_position=camera_position)
+        rgb, stats = trace_path(scene, origins, dirs, k_trace,
+                                max_bounces=max_bounces,
+                                mirror_threshold=mirror_threshold,
+                                background=background, guide_fn=guide_fn,
+                                fb_prob=fb_prob, collect_stats=collect_stats,
+                                impl="fused")
+        return jnp.sum(rgb.reshape(spp_chunk, height, width, 3), axis=0), stats
+
+    sums, stats = jax.lax.map(one, keys)
+    pixel = jnp.floor(jnp.sum(sums, axis=0) / (spp_chunk * chunks))
+    img = jnp.minimum(1.0, pixel / 255.0)
+    stats = jax.tree.map(lambda x: jnp.sum(x, axis=0), stats)
+    return img, stats
+
+
 def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
                 spp: int = 4, max_bounces: int = 3, fov: float = 60.0,
                 camera_position=(0.0, 2.0, 0.0),
@@ -73,15 +107,34 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
                 guide_fn: Optional[Callable] = None,
                 fb_prob: float = 1.0,
                 collect_stats: bool = True,
-                impl: str = "fused"):
+                impl: str = "fused",
+                spp_chunk: Optional[int] = None):
     """Render ``[H, W, 3]`` unit-range image + PathStats.
 
     ``impl`` selects the trace implementation (see ``trace_path``);
     "fused" is one fully-fused XLA program (fastest steady-state),
     "stepwise" keeps TPU compile time flat in max_bounces and compiles the
     guide network separately from the tracer.
+
+    ``spp_chunk``: accumulate ``spp`` samples in independent chunks of this
+    size inside one compiled program (``lax.map``) — high-spp quality
+    renders whose full wavefront would not fit in HBM run at
+    ``spp_chunk``-sized memory with no extra dispatches.  Requires
+    ``impl="fused"`` and ``spp % spp_chunk == 0``; the pixel average is the
+    reference's integer ``floor(sum/spp)`` over the full sample set.
     """
     cam = jnp.asarray(camera_position, jnp.float32)
+    if spp_chunk is not None and spp_chunk < spp:
+        if impl != "fused":
+            raise ValueError("spp_chunk requires impl='fused'")
+        if spp % spp_chunk:
+            raise ValueError(f"spp={spp} not divisible by spp_chunk={spp_chunk}")
+        return _render_path_chunked(
+            scene, key, width=width, height=height, spp_chunk=spp_chunk,
+            chunks=spp // spp_chunk, max_bounces=max_bounces, fov=fov,
+            camera_position=cam, mirror_threshold=mirror_threshold,
+            background=background, guide_fn=guide_fn, fb_prob=fb_prob,
+            collect_stats=collect_stats)
     if impl == "fused":
         return _render_path_fused(
             scene, key, width=width, height=height, spp=spp,
