@@ -71,7 +71,7 @@ def cmd_animate(args):
     from .render.animation import (camera_path_rays, orbit_eyes,
                                    render_whitted_frames, scene_focus)
     from .scene import library
-    from .utils.io import save_image
+    from .utils.io import save_apng, save_image
 
     fn = {"true_original": library.true_original_scene,
           "planets2": library.planets2_scene,
@@ -111,6 +111,7 @@ def cmd_animate(args):
         sheet[r * args.height:(r + 1) * args.height,
               c * args.width:(c + 1) * args.width] = arr[i]
     save_image(os.path.join(args.out_dir, "contact_sheet.png"), sheet)
+    save_apng(os.path.join(args.out_dir, "animation.png"), arr, fps=args.fps)
     rays = args.frames * args.width * args.height
     stats = {"frames": args.frames, "width": args.width,
              "height": args.height, "bounces": bounces,
@@ -454,6 +455,8 @@ def main(argv=None):
     an.add_argument("--width", type=int, default=320)
     an.add_argument("--height", type=int, default=240)
     an.add_argument("--fov", type=float, default=60.0)
+    an.add_argument("--fps", type=float, default=10.0,
+                    help="APNG playback rate")
     an.add_argument("--bounces", type=int, default=None)
     an.add_argument("--radius", type=float, default=None,
                     help="orbit radius (default: camera↔target distance)")

@@ -40,6 +40,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.write_ppm.restype = ctypes.c_int
         lib.quantise_unit_u8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                          ctypes.c_int64]
+        lib.write_apng.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_int]
+        lib.write_apng.restype = ctypes.c_int
         _lib = lib
     except Exception:                                   # pragma: no cover
         _lib = None
@@ -74,5 +78,31 @@ def save_image(path, rgb_u8: np.ndarray) -> None:
     try:                                                # pragma: no cover
         from PIL import Image
         Image.fromarray(rgb_u8).save(path)
+    except ImportError:
+        raise RuntimeError("no native imageio and no PIL available")
+
+
+def save_apng(path, frames_u8: np.ndarray, fps: float = 10.0) -> None:
+    """Write ``[F, H, W, 3]`` uint8 frames as an animated PNG (APNG,
+    full-frame replace, infinite loop) via the native writer, with a
+    Pillow ``save_all`` fallback."""
+    path = str(path)
+    frames_u8 = np.ascontiguousarray(frames_u8, np.uint8)
+    if frames_u8.ndim != 4 or frames_u8.shape[-1] != 3:
+        raise ValueError(f"expected [F,H,W,3] u8, got {frames_u8.shape}")
+    f, h, w = frames_u8.shape[:3]
+    delay_num, delay_den = 1, max(1, min(int(round(fps)), 30_000))
+    lib = _load()
+    if lib is not None:
+        rc = lib.write_apng(path.encode(),
+                            frames_u8.ctypes.data_as(ctypes.c_void_p),
+                            w, h, f, delay_num, delay_den)
+        if rc == 0:
+            return
+    try:                                                # pragma: no cover
+        from PIL import Image
+        imgs = [Image.fromarray(frames_u8[i]) for i in range(f)]
+        imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                     duration=1000.0 * delay_num / delay_den, loop=0)
     except ImportError:
         raise RuntimeError("no native imageio and no PIL available")

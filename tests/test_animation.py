@@ -92,6 +92,22 @@ def test_scene_focus_ignores_walls():
     assert abs(focus[0]) < 3.0 and 0.0 < focus[1] < 10.0 and 2.0 < focus[2] < 12.0
 
 
+def test_save_apng_roundtrip(tmp_path):
+    from PIL import Image
+
+    from raytracer_tpu.utils.io import save_apng
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(3, 8, 6, 3), dtype=np.uint8)
+    p = tmp_path / "anim.png"
+    save_apng(p, frames, fps=5)
+    im = Image.open(p)
+    assert getattr(im, "n_frames", 1) == 3
+    for i in range(3):
+        im.seek(i)
+        np.testing.assert_array_equal(np.asarray(im.convert("RGB")),
+                                      frames[i])
+
+
 def test_cli_animate_writes_frames_and_stats(tmp_path, capsys):
     from raytracer_tpu.cli import main
     out = tmp_path / "anim"
@@ -99,7 +115,7 @@ def test_cli_animate_writes_frames_and_stats(tmp_path, capsys):
           "--height", "12", "--out-dir", str(out)])
     files = sorted(os.listdir(out))
     assert "frame_000.png" in files and "frame_001.png" in files
-    assert "contact_sheet.png" in files
+    assert "contact_sheet.png" in files and "animation.png" in files
     stats = json.loads((out / "animation_stats.json").read_text())
     assert stats["frames"] == 2 and stats["wall_s"] > 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
