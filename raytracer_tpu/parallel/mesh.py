@@ -113,6 +113,63 @@ def render_whitted_sharded(mesh: Mesh, scene, glights, plights, origins,
     return render_whitted(scene, glights, plights, o, d, height, width, **kw)
 
 
+def render_whitted_frames_sharded(mesh: Mesh, scene, glights, plights,
+                                  origins, dirs, height: int, width: int, *,
+                                  max_bounces: int = 5,
+                                  background=(0.0, 0.0, 0.0),
+                                  miss_colour=None, mode: str = "unit"):
+    """Frame-parallel serving over the mesh: the camera-path axis shards
+    ``P('dp')`` via ``shard_map``, so each chip renders its own slice of
+    the animation with ZERO cross-chip traffic until the host gathers the
+    stacked frames — the third parallel axis next to ray-dp and tensor-tp
+    (turntables/batch serving scale linearly in chips).
+
+    ``origins``/``dirs``: ``[F, R, 3]`` (see render/animation.py).  F pads
+    up to a multiple of the dp size (edge-replicated frames, cropped
+    after).  Each frame still renders through the full lax.map pipeline of
+    ``render_whitted_frames``, so per-chip memory stays single-frame.
+    """
+    from ..render.animation import _render_frames
+    from ..render.renderer import material_flags
+
+    try:
+        enable_glass, enable_mirror = material_flags(scene)
+    except Exception:
+        enable_glass = enable_mirror = True
+    background = tuple(np.asarray(background, float).tolist())
+    miss_colour = (None if miss_colour is None else
+                   tuple(np.asarray(miss_colour, float).tolist()))
+
+    dp = mesh.shape["dp"]
+    f0 = origins.shape[0]
+    pad = (-f0) % dp
+    if pad:
+        pw = [(0, pad), (0, 0), (0, 0)]
+        origins = jnp.pad(origins, pw, mode="edge")
+        dirs = jnp.pad(dirs, pw, mode="edge")
+    fspec = P("dp", None, None)
+    origins = jax.device_put(origins, NamedSharding(mesh, fspec))
+    dirs = jax.device_put(dirs, NamedSharding(mesh, fspec))
+
+    def body(sc, gl, pl, o, d):
+        return _render_frames(sc, gl, pl, o, d, height, width,
+                              max_bounces=max_bounces, background=background,
+                              miss_colour=miss_colour, mode=mode,
+                              enable_glass=enable_glass,
+                              enable_mirror=enable_mirror)
+
+    # check_vma off: the tracer's fori_loop carries are seeded from the
+    # replicated scene and only become dp-varying inside the loop body —
+    # semantically fine (every lane is per-frame data), but the static
+    # varying-axis checker rejects the mixed carry types.
+    out = jax.shard_map(body, mesh=mesh,
+                        in_specs=(P(), P(), P(), fspec, fspec),
+                        out_specs=P("dp", None, None, None),
+                        check_vma=False)(scene, glights, plights,
+                                         origins, dirs)
+    return out[:f0]
+
+
 def render_path_sharded(mesh: Mesh, scene, key, *, width: int, height: int,
                         spp: int = 4, max_bounces: int = 3, fov: float = 60.0,
                         camera_position=(0.0, 2.0, 0.0),

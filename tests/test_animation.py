@@ -92,6 +92,26 @@ def test_scene_focus_ignores_walls():
     assert abs(focus[0]) < 3.0 and 0.0 < focus[1] < 10.0 and 2.0 < focus[2] < 12.0
 
 
+def test_sharded_frames_match_single_device():
+    from raytracer_tpu.parallel.mesh import (make_mesh,
+                                             render_whitted_frames_sharded)
+    scene, gl, pl, p = library.true_original_scene()
+    eyes = orbit_eyes((0.0, 0.0, 0.0), 3.0, 0.5, 5)     # 5 frames → pad to 8
+    w, h = 16, 12
+    origins, dirs = camera_path_rays(eyes, (0.0, 0.0, 0.0), w, h, fov=60.0)
+    single = render_whitted_frames(scene, gl, pl, origins, dirs, h, w,
+                                   max_bounces=p["max_bounces"],
+                                   background=p["background"])
+    mesh = make_mesh(8, tp=1)
+    sharded = render_whitted_frames_sharded(mesh, scene, gl, pl, origins,
+                                            dirs, h, w,
+                                            max_bounces=p["max_bounces"],
+                                            background=p["background"])
+    assert sharded.shape == single.shape == (5, h, w, 3)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=2e-6, atol=2e-6)
+
+
 def test_save_apng_roundtrip(tmp_path):
     from PIL import Image
 
