@@ -90,14 +90,42 @@ def cmd_animate(args):
                                      fov=args.fov)
 
     bounces = args.bounces or p["max_bounces"]
-    t0 = time.time()
-    frames = render_whitted_frames(scene, gl, pl, origins, dirs,
-                                   args.height, args.width,
-                                   max_bounces=bounces,
-                                   background=p["background"],
-                                   miss_colour=p.get("sky_colour"))
-    frames.block_until_ready()
-    dt = time.time() - t0
+    extra = {}
+    if args.tracer == "path":
+        import jax
+
+        from .render.animation import render_path_frames
+        guide_fn = None
+        if args.guide == "registry":
+            from .fb.registry import guide_for
+            guide_fn = guide_for(args.scene, args.width, args.height)
+        elif args.guide:
+            from .fb.distill import DistilledGuide
+            guide_fn = DistilledGuide.load(args.guide).as_guide_fn()
+        t0 = time.time()
+        frames, stats = render_path_frames(
+            scene, jax.random.key(args.seed), eyes, target,
+            width=args.width, height=args.height, spp=args.spp,
+            max_bounces=bounces, fov=args.fov,
+            background=p.get("background", (2.0, 2.0, 5.0)),
+            guide_fn=guide_fn, fb_prob=1.0)
+        frames.block_until_ready()
+        dt = time.time() - t0
+        extra = {"tracer": "path", "spp": args.spp,
+                 "guided": bool(guide_fn),
+                 "total_rays": int(stats.total_rays),
+                 "light_hits": int(stats.light_hits),
+                 "small_light_hits": int(stats.small_light_hits),
+                 "fb_used": int(stats.fb_used)}
+    else:
+        t0 = time.time()
+        frames = render_whitted_frames(scene, gl, pl, origins, dirs,
+                                       args.height, args.width,
+                                       max_bounces=bounces,
+                                       background=p["background"],
+                                       miss_colour=p.get("sky_colour"))
+        frames.block_until_ready()
+        dt = time.time() - t0
 
     os.makedirs(args.out_dir, exist_ok=True)
     arr = (np.clip(np.asarray(frames), 0, 1) * 255).astype(np.uint8)
@@ -118,7 +146,7 @@ def cmd_animate(args):
              "wall_s": round(dt, 4), "ms_per_frame": round(dt * 1e3 / args.frames, 3),
              "mrays_per_s": round(rays / dt / 1e6, 2),
              "target": [round(float(v), 4) for v in np.asarray(target)],
-             "radius": round(radius, 4), "y": round(y, 4)}
+             "radius": round(radius, 4), "y": round(y, 4), **extra}
     with open(os.path.join(args.out_dir, "animation_stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
     print(json.dumps(stats))
@@ -457,6 +485,14 @@ def main(argv=None):
     an.add_argument("--fov", type=float, default=60.0)
     an.add_argument("--fps", type=float, default=10.0,
                     help="APNG playback rate")
+    an.add_argument("--tracer", default="whitted",
+                    choices=["whitted", "path"])
+    an.add_argument("--spp", type=int, default=4,
+                    help="path tracer samples per pixel")
+    an.add_argument("--guide", default=None,
+                    help="path tracer FB guide: a student .npz, or "
+                         "'registry' for per-camera dispatch")
+    an.add_argument("--seed", type=int, default=0)
     an.add_argument("--bounces", type=int, default=None)
     an.add_argument("--radius", type=float, default=None,
                     help="orbit radius (default: camera↔target distance)")

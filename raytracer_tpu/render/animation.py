@@ -36,15 +36,17 @@ from .renderer import _shade_flat, material_flags
 
 def look_at_rays(width: int, height: int, *, eye, target,
                  fov: float = 60.0, up=(0.0, 1.0, 0.0),
+                 sample_xy: Optional[jnp.ndarray] = None,
                  dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Perspective rays from ``eye`` toward ``target``.
 
     NDC/fov mapping matches the env camera's single-aspect convention
     (RL/ray_tracer_env.py:121-134); the fixed ``(x, y, -1)`` direction is
     generalised to ``sx*right + sy*up' + forward`` with an orthonormal
-    look-at basis.  Returns ``(origins [H*W,3], dirs [H*W,3])``; dirs are
-    unit length.  ``eye``/``target`` may be traced arrays (vmap-able over
-    frames).
+    look-at basis.  ``sample_xy``: optional ``[H, W, 2]`` sub-pixel
+    offsets in [0, 1) (spp jitter); defaults to pixel centres.  Returns
+    ``(origins [H*W,3], dirs [H*W,3])``; dirs are unit length.
+    ``eye``/``target`` may be traced arrays (vmap-able over frames).
     """
     eye = jnp.asarray(eye, dtype)
     target = jnp.asarray(target, dtype)
@@ -58,10 +60,16 @@ def look_at_rays(width: int, height: int, *, eye, target,
 
     aspect = width / height
     half = float(np.tan(np.radians(fov) / 2))
-    px = (jnp.arange(width, dtype=dtype) + 0.5)[None, :]
-    py = (jnp.arange(height, dtype=dtype) + 0.5)[:, None]
-    sx = (2.0 * px / width - 1.0) * aspect * half      # [1, W]
-    sy = (1.0 - 2.0 * py / height) * half              # [H, 1]
+    px = jnp.arange(width, dtype=dtype)[None, :]
+    py = jnp.arange(height, dtype=dtype)[:, None]
+    if sample_xy is None:
+        ox_s = jnp.asarray(0.5, dtype)
+        oy_s = jnp.asarray(0.5, dtype)
+    else:
+        ox_s = sample_xy[..., 0].astype(dtype)
+        oy_s = sample_xy[..., 1].astype(dtype)
+    sx = (2.0 * (px + ox_s) / width - 1.0) * aspect * half
+    sy = (1.0 - 2.0 * (py + oy_s) / height) * half
     sx, sy = jnp.broadcast_arrays(sx, sy)
     dirs = (sx[..., None] * right + sy[..., None] * cam_up + fwd)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
@@ -160,6 +168,63 @@ def render_whitted_frames(scene: Scene, glights: GlobalLights,
                           background=background, miss_colour=miss_colour,
                           mode=mode, enable_glass=enable_glass,
                           enable_mirror=enable_mirror)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "spp", "max_bounces",
+                                   "fov", "mirror_threshold", "guide_fn",
+                                   "collect_stats"))
+def _render_path_frames(scene: Scene, key, eyes, targets, *, height, width,
+                        spp, max_bounces, fov, mirror_threshold, background,
+                        guide_fn, fb_prob, collect_stats):
+    from ..trace.path import trace_path
+    from .path_renderer import _assemble
+
+    def one(args):
+        eye, target, k = args
+        k_jit, k_trace = jax.random.split(k)
+        jit = jax.random.uniform(k_jit, (spp, height, width, 2), jnp.float32)
+        o, d = jax.vmap(lambda j: look_at_rays(
+            width, height, eye=eye, target=target, fov=fov,
+            sample_xy=j))(jit)                         # [spp, H*W, 3]
+        rgb, stats = trace_path(scene, o.reshape(-1, 3), d.reshape(-1, 3),
+                                k_trace, max_bounces=max_bounces,
+                                mirror_threshold=mirror_threshold,
+                                background=background, guide_fn=guide_fn,
+                                fb_prob=fb_prob, collect_stats=collect_stats,
+                                impl="fused")
+        return _assemble(rgb, spp=spp, height=height, width=width), stats
+
+    keys = jax.random.split(key, eyes.shape[0])
+    imgs, stats = jax.lax.map(one, (eyes, targets, keys))
+    stats = jax.tree.map(lambda x: jnp.sum(x, axis=0), stats)
+    return imgs, stats
+
+
+def render_path_frames(scene: Scene, key, eyes: jnp.ndarray, target, *,
+                       width: int, height: int, spp: int = 4,
+                       max_bounces: int = 3, fov: float = 60.0,
+                       mirror_threshold: float = 0.9,
+                       background=(2.0, 2.0, 5.0), guide_fn=None,
+                       fb_prob: float = 1.0, collect_stats: bool = True):
+    """Path-traced camera path: ``[F, H, W, 3]`` frames + summed PathStats
+    in ONE compiled program — the guided-sampling serving path (the
+    distilled FB guide runs inside each frame's fused trace, so a learned
+    sampler animates at the same dispatch cost as the traditional one).
+
+    ``eyes [F, 3]`` look at ``target`` (point or ``[F, 3]``) with the
+    single-aspect look-at camera + per-sample jitter; pixel averaging is
+    the reference's integer ``floor(sum/spp)`` (render_path._assemble).
+    """
+    eyes = jnp.asarray(eyes, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    if target.ndim == 1:
+        target = jnp.broadcast_to(target, eyes.shape)
+    background = tuple(np.asarray(background, float).tolist())
+    return _render_path_frames(scene, key, eyes, target, height=height,
+                               width=width, spp=spp, max_bounces=max_bounces,
+                               fov=fov, mirror_threshold=mirror_threshold,
+                               background=background, guide_fn=guide_fn,
+                               fb_prob=fb_prob, collect_stats=collect_stats)
 
 
 def scene_focus(scene: Scene) -> np.ndarray:

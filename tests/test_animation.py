@@ -92,6 +92,42 @@ def test_scene_focus_ignores_walls():
     assert abs(focus[0]) < 3.0 and 0.0 < focus[1] < 10.0 and 2.0 < focus[2] < 12.0
 
 
+def test_look_at_jitter_default_matches_half_offset():
+    import jax.numpy as jnp
+    eye, target = jnp.asarray([0.0, 1.0, 4.0]), jnp.asarray([0.0, 0.0, 0.0])
+    o1, d1 = look_at_rays(9, 7, eye=eye, target=target, fov=50.0)
+    half = jnp.full((7, 9, 2), 0.5)
+    o2, d2 = look_at_rays(9, 7, eye=eye, target=target, fov=50.0,
+                          sample_xy=half)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-7)
+
+
+def test_path_frames_deterministic_and_guided():
+    import jax
+
+    from raytracer_tpu.fb.distill import DistilledGuide
+    from raytracer_tpu.render.animation import render_path_frames
+    scene, gl, pl, p = library.chandelier_scene()
+    target = scene_focus(scene)
+    eyes = orbit_eyes(target, 6.0, 2.0, 2)
+    kw = dict(width=24, height=12, spp=2, max_bounces=3,
+              background=(2.0, 2.0, 5.0))
+    f1, s1 = render_path_frames(scene, jax.random.key(0), eyes, target, **kw)
+    f2, s2 = render_path_frames(scene, jax.random.key(0), eyes, target, **kw)
+    assert f1.shape == (2, 12, 24, 3)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    assert int(s1.total_rays) == int(s2.total_rays) > 0
+    assert not np.allclose(np.asarray(f1[0]), np.asarray(f1[1]))
+
+    guide = DistilledGuide.load("models/fb_chandelier_distilled.npz")
+    fg, sg = render_path_frames(scene, jax.random.key(0), eyes, target,
+                                guide_fn=guide.as_guide_fn(), fb_prob=1.0,
+                                **kw)
+    assert fg.shape == (2, 12, 24, 3)
+    assert int(sg.fb_used) > 0
+    assert np.isfinite(np.asarray(fg)).all()
+
+
 def test_sharded_frames_match_single_device():
     from raytracer_tpu.parallel.mesh import (make_mesh,
                                              render_whitted_frames_sharded)
@@ -140,3 +176,15 @@ def test_cli_animate_writes_frames_and_stats(tmp_path, capsys):
     assert stats["frames"] == 2 and stats["wall_s"] > 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line)["frames"] == 2
+
+
+def test_cli_animate_path_tracer(tmp_path, capsys):
+    from raytracer_tpu.cli import main
+    out = tmp_path / "anim_path"
+    main(["animate", "--scene", "chandelier", "--tracer", "path",
+          "--frames", "2", "--width", "16", "--height", "8", "--spp", "1",
+          "--bounces", "2", "--out-dir", str(out)])
+    stats = json.loads((out / "animation_stats.json").read_text())
+    assert stats["tracer"] == "path" and stats["total_rays"] > 0
+    assert not stats["guided"]
+    assert (out / "animation.png").exists()
