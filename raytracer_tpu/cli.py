@@ -140,7 +140,10 @@ def cmd_animate(args):
               c * args.width:(c + 1) * args.width] = arr[i]
     save_image(os.path.join(args.out_dir, "contact_sheet.png"), sheet)
     save_apng(os.path.join(args.out_dir, "animation.png"), arr, fps=args.fps)
-    rays = args.frames * args.width * args.height
+    # Path tracer: count the rays actually traced (spp samples + bounce
+    # extensions, from PathStats); Whitted: primary rays (bounces are
+    # folded into the fused trace, matching the single-frame renderer).
+    rays = extra.get("total_rays") or args.frames * args.width * args.height
     stats = {"frames": args.frames, "width": args.width,
              "height": args.height, "bounces": bounces,
              "wall_s": round(dt, 4), "ms_per_frame": round(dt * 1e3 / args.frames, 3),

@@ -18,6 +18,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import gc
+
 import numpy as np
 import pytest
 
@@ -25,3 +27,21 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Free compiled executables between test modules.
+
+    jax caches every compiled program for the life of the process; across
+    the full suite the accumulated CPU executables' mmap'd code pages
+    exceed the kernel's default vm.max_map_count (65530), after which
+    mmap fails and the process segfaults inside compile/cache paths
+    (observed at ~50% of the suite).  Clearing per module keeps reuse
+    within a module (where it matters) and caps the process-wide map
+    count; the on-disk compilation cache absorbs most of the recompile
+    cost across modules.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
