@@ -248,10 +248,13 @@ def cmd_train_fb(args, trainer_cls=None):
 def cmd_compare(args, which):
     from .compare.harness import chandelier_comparison, complex_comparison
     fn = chandelier_comparison if which == "chandelier" else complex_comparison
+    kw = {}
+    if args.spp_chunk:
+        kw = dict(spp_chunk=args.spp_chunk, impl="fused")
     stats = fn(model_path=args.model, width=args.width, height=args.height,
                samples_per_pixel=args.spp, max_bounces=args.bounces,
                fb_samples_per_pixel=args.fb_spp, out_dir=args.out,
-               timing_iters=args.timing_iters)
+               timing_iters=args.timing_iters, **kw)
     print(json.dumps(stats["comparison"], indent=2))
 
 
@@ -541,6 +544,9 @@ def main(argv=None):
         c.add_argument("--bounces", type=int, default=8)
         c.add_argument("--fb-spp", type=int, default=None,
                        help="matched-signal mode: FB samples per pixel")
+        c.add_argument("--spp-chunk", type=int, default=None,
+                       help="bounded-memory high-spp accumulation chunk "
+                            "(switches to the fused tracer)")
         c.add_argument("--out", default=None, help="output directory")
         c.add_argument("--timing-iters", type=int, default=1,
                        help="best-of-N wall-clock (TPU relay variance)")

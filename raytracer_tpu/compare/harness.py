@@ -60,7 +60,8 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
                    seed: int = 0, save_png: bool = True,
                    warmup: bool = True, impl: str = "stepwise",
                    timing_iters: int = 1,
-                   fb_samples_per_pixel: Optional[int] = None) -> dict:
+                   fb_samples_per_pixel: Optional[int] = None,
+                   spp_chunk: Optional[int] = None) -> dict:
     """Run the two renders and write artifacts.  Returns the stats dict.
 
     ``traditional_mirror_threshold`` defaults to the chandelier script's
@@ -85,6 +86,11 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
     the hit-rate advantage into a wall-clock advantage at equal-or-better
     signal.  The statistics.json schema is unchanged; both spp values are
     recorded in the per-renderer dicts.
+
+    ``spp_chunk``: accumulate each side's samples in bounded-memory chunks
+    inside one compiled program (render_path's high-spp mode; requires
+    ``impl="fused"`` and chunk | spp) — quality comparisons at 64+ spp
+    whose full wavefront would not fit in HBM.
     """
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     out = Path(out_dir or f"./{scene_name}_comparison_{timestamp}")
@@ -109,7 +115,8 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
         return render_path(
             scene, k, width=width, height=height, spp=samples_per_pixel,
             max_bounces=max_bounces, camera_position=camera_position,
-            mirror_threshold=traditional_mirror_threshold, impl=impl)
+            mirror_threshold=traditional_mirror_threshold, impl=impl,
+            spp_chunk=spp_chunk)
 
     def run_fb(k):
         # Falls back to traditional sampling with fb_prob=0 when no model,
@@ -118,7 +125,7 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
             scene, k, width=width, height=height, spp=fb_spp,
             max_bounces=max_bounces, camera_position=camera_position,
             mirror_threshold=fb_mirror_threshold, guide_fn=guide,
-            fb_prob=fb_prob, impl=impl)
+            fb_prob=fb_prob, impl=impl, spp_chunk=spp_chunk)
 
     if warmup:
         jax.block_until_ready(run_trad(k1)[0])

@@ -32,6 +32,28 @@ def test_run_comparison_schema(tmp_path):
     assert saved["traditional"]["total_rays"] == stats["traditional"]["total_rays"]
 
 
+def test_run_comparison_spp_chunk(tmp_path):
+    # High-spp bounded-memory mode through the comparison harness: same
+    # statistics surface, every camera sample covered, and ray totals
+    # within path-length noise of the unchunked fused run (the chunked
+    # RNG stream differs per sample, so exact equality is not expected —
+    # see test_path_chunked.py).
+    scene, _, _, p = library.chandelier_scene()
+    kw = dict(camera_position=p["camera_position"], width=24, height=12,
+              samples_per_pixel=4, max_bounces=3, save_png=False,
+              impl="fused", warmup=False)
+    plain = run_comparison(scene, out_dir=tmp_path / "a", **kw)
+    chunked = run_comparison(scene, out_dir=tmp_path / "b", spp_chunk=2,
+                             **kw)
+    assert set(chunked) == {"traditional", "fb", "comparison"}
+    n = 24 * 12 * 4
+    ct = chunked["traditional"]["total_rays"]
+    assert n <= ct <= n * 4
+    assert abs(ct - plain["traditional"]["total_rays"]) < 0.2 * n
+    saved = json.loads((tmp_path / "b" / "statistics.json").read_text())
+    assert saved["traditional"]["total_rays"] == ct
+
+
 def test_output5_tracers_all_methods():
     scene, _, _, p = library.custom_scene()
     origins, dirs, h, w = grid_rays(10, 0.05, 1, origin=(0, 0, 1))
