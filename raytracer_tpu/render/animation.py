@@ -170,13 +170,30 @@ def render_whitted_frames(scene: Scene, glights: GlobalLights,
                           enable_mirror=enable_mirror)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "spp", "max_bounces",
-                                   "fov", "mirror_threshold", "guide_fn",
-                                   "collect_stats"))
 def _render_path_frames(scene: Scene, key, eyes, targets, *, height, width,
                         spp, max_bounces, fov, mirror_threshold, background,
                         guide_fn, fb_prob, collect_stats):
-    from ..trace.path import trace_path
+    # Big-net guide params ride as jit arguments (trace/path.split_guide) —
+    # closed-over weights inlined into this frame-batched program would
+    # SIGILL the TPU compiler.
+    from ..trace.path import split_guide
+    guide_fn, g_params, g_apply, g_dtype = split_guide(guide_fn)
+    return _render_path_frames_jit(
+        scene, key, eyes, targets, g_params, height=height, width=width,
+        spp=spp, max_bounces=max_bounces, fov=fov,
+        mirror_threshold=mirror_threshold, background=background,
+        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
+        fb_prob=fb_prob, collect_stats=collect_stats)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "spp", "max_bounces",
+                                   "fov", "mirror_threshold", "guide_fn",
+                                   "g_apply", "g_dtype", "collect_stats"))
+def _render_path_frames_jit(scene: Scene, key, eyes, targets, g_params, *,
+                            height, width, spp, max_bounces, fov,
+                            mirror_threshold, background, guide_fn, g_apply,
+                            g_dtype, fb_prob, collect_stats):
+    from ..trace.path import _trace_path_fused_impl
     from .path_renderer import _assemble
 
     def one(args):
@@ -186,12 +203,11 @@ def _render_path_frames(scene: Scene, key, eyes, targets, *, height, width,
         o, d = jax.vmap(lambda j: look_at_rays(
             width, height, eye=eye, target=target, fov=fov,
             sample_xy=j))(jit)                         # [spp, H*W, 3]
-        rgb, stats = trace_path(scene, o.reshape(-1, 3), d.reshape(-1, 3),
-                                k_trace, max_bounces=max_bounces,
-                                mirror_threshold=mirror_threshold,
-                                background=background, guide_fn=guide_fn,
-                                fb_prob=fb_prob, collect_stats=collect_stats,
-                                impl="fused")
+        rgb, stats = _trace_path_fused_impl(
+            scene, o.reshape(-1, 3), d.reshape(-1, 3), k_trace, g_params,
+            max_bounces=max_bounces, mirror_threshold=mirror_threshold,
+            background=background, guide_fn=guide_fn, g_apply=g_apply,
+            g_dtype=g_dtype, fb_prob=fb_prob, collect_stats=collect_stats)
         return _assemble(rgb, spp=spp, height=height, width=width), stats
 
     keys = jax.random.split(key, eyes.shape[0])

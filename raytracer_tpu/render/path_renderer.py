@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from ..scene.types import Scene
-from ..trace.path import PathStats, trace_path
+from ..trace.path import (PathStats, _trace_path_fused_impl, split_guide,
+                          trace_path)
 from .camera import perspective_rays
 
 
@@ -45,32 +46,63 @@ def _assemble(rgb, *, spp, height, width):
     return jnp.minimum(1.0, pixel / 255.0)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
-                                   "mirror_threshold", "guide_fn", "fov",
-                                   "collect_stats"))
 def _render_path_fused(scene, key, *, width, height, spp, max_bounces, fov,
                        camera_position, mirror_threshold, background,
                        guide_fn, fb_prob, collect_stats):
+    # Big-net guides' params ride as jit arguments, not closed-over
+    # constants (trace/path.split_guide — inlined weights SIGILL the TPU
+    # compiler); this outer jit boundary must route them too.
+    guide_fn, g_params, g_apply, g_dtype = split_guide(guide_fn)
+    return _render_path_fused_jit(
+        scene, key, g_params, width=width, height=height, spp=spp,
+        max_bounces=max_bounces, fov=fov, camera_position=camera_position,
+        mirror_threshold=mirror_threshold, background=background,
+        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
+        fb_prob=fb_prob, collect_stats=collect_stats)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
+                                   "mirror_threshold", "guide_fn", "g_apply",
+                                   "g_dtype", "fov", "collect_stats"))
+def _render_path_fused_jit(scene, key, g_params, *, width, height, spp,
+                           max_bounces, fov, camera_position,
+                           mirror_threshold, background, guide_fn, g_apply,
+                           g_dtype, fb_prob, collect_stats):
     k_jit, k_trace = jax.random.split(key)
     origins, dirs = _camera_bundle(
         k_jit, width=width, height=height, spp=spp, fov=fov,
         camera_position=camera_position)
-    rgb, stats = trace_path(scene, origins, dirs, k_trace,
-                            max_bounces=max_bounces,
-                            mirror_threshold=mirror_threshold,
-                            background=background, guide_fn=guide_fn,
-                            fb_prob=fb_prob, collect_stats=collect_stats,
-                            impl="fused")
+    rgb, stats = _trace_path_fused_impl(
+        scene, origins, dirs, k_trace, g_params, max_bounces=max_bounces,
+        mirror_threshold=mirror_threshold, background=background,
+        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
+        fb_prob=fb_prob, collect_stats=collect_stats)
     img = _assemble(rgb, spp=spp, height=height, width=width)
     return img, stats
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp_chunk", "chunks",
-                                   "max_bounces", "mirror_threshold",
-                                   "guide_fn", "fov", "collect_stats"))
 def _render_path_chunked(scene, key, *, width, height, spp_chunk, chunks,
                          max_bounces, fov, camera_position, mirror_threshold,
                          background, guide_fn, fb_prob, collect_stats):
+    guide_fn, g_params, g_apply, g_dtype = split_guide(guide_fn)
+    return _render_path_chunked_jit(
+        scene, key, g_params, width=width, height=height,
+        spp_chunk=spp_chunk, chunks=chunks, max_bounces=max_bounces,
+        fov=fov, camera_position=camera_position,
+        mirror_threshold=mirror_threshold, background=background,
+        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
+        fb_prob=fb_prob, collect_stats=collect_stats)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp_chunk", "chunks",
+                                   "max_bounces", "mirror_threshold",
+                                   "guide_fn", "g_apply", "g_dtype", "fov",
+                                   "collect_stats"))
+def _render_path_chunked_jit(scene, key, g_params, *, width, height,
+                             spp_chunk, chunks, max_bounces, fov,
+                             camera_position, mirror_threshold, background,
+                             guide_fn, g_apply, g_dtype, fb_prob,
+                             collect_stats):
     """High-spp render at bounded memory in ONE dispatch: ``lax.map`` over
     ``chunks`` independent ``spp_chunk``-sample sub-renders, accumulating
     integer sample sums, then ONE ``floor(total / spp_total)`` — exactly
@@ -84,12 +116,11 @@ def _render_path_chunked(scene, key, *, width, height, spp_chunk, chunks,
         origins, dirs = _camera_bundle(
             k_jit, width=width, height=height, spp=spp_chunk, fov=fov,
             camera_position=camera_position)
-        rgb, stats = trace_path(scene, origins, dirs, k_trace,
-                                max_bounces=max_bounces,
-                                mirror_threshold=mirror_threshold,
-                                background=background, guide_fn=guide_fn,
-                                fb_prob=fb_prob, collect_stats=collect_stats,
-                                impl="fused")
+        rgb, stats = _trace_path_fused_impl(
+            scene, origins, dirs, k_trace, g_params,
+            max_bounces=max_bounces, mirror_threshold=mirror_threshold,
+            background=background, guide_fn=guide_fn, g_apply=g_apply,
+            g_dtype=g_dtype, fb_prob=fb_prob, collect_stats=collect_stats)
         return jnp.sum(rgb.reshape(spp_chunk, height, width, 3), axis=0), stats
 
     sums, stats = jax.lax.map(one, keys)

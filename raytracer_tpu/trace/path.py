@@ -147,8 +147,6 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                              fb_prob=fb_prob, collect_stats=collect_stats)
 
 
-@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
-                                   "guide_fn", "collect_stats"))
 def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                       key: jax.Array, *, max_bounces: int = 3,
                       mirror_threshold: float = 0.9,
@@ -156,6 +154,49 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                       guide_fn: Optional[Callable] = None,
                       fb_prob: float = 1.0,
                       collect_stats: bool = True):
+    """Fused-tracer entry: routes big-net guides' params around the jit.
+
+    A guide carrying ``_fused_spec`` with a custom apply (the full
+    TrainedFBAgent) must have its params passed as jit *arguments* —
+    calling the guide closure inside the traced program would inline the
+    network weights as constants, and >10 MB of literal MLIR SIGILLs the
+    TPU compiler (the same rule as fb.inference.as_guide_fn; observed on
+    the multi-scene agent under impl="fused").  Distilled students stay on
+    the static-closure path: their ~10 KB of literals fuse harmlessly.
+    """
+    guide_fn, g_params, g_apply, g_dtype = split_guide(guide_fn)
+    return _trace_path_fused_impl(
+        scene, origins, dirs, key, g_params, max_bounces=max_bounces,
+        mirror_threshold=mirror_threshold, background=background,
+        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
+        fb_prob=fb_prob, collect_stats=collect_stats)
+
+
+def split_guide(guide_fn):
+    """``(guide_fn, g_params, g_apply, g_dtype)`` — separate a big-net
+    guide into a traced params pytree + hashable apply so callers can pass
+    the params as jit arguments (see _trace_path_fused's docstring).  For
+    distilled students / plain callables everything stays in ``guide_fn``
+    and the other three are None."""
+    spec = (getattr(guide_fn, "_fused_spec", None)
+            if guide_fn is not None else None)
+    if spec is not None and len(spec) > 2 and spec[2] is not None:
+        return None, spec[0], spec[2], spec[1]
+    return guide_fn, None, None, None
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
+                                   "guide_fn", "g_apply", "g_dtype",
+                                   "collect_stats"))
+def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
+                           dirs: jnp.ndarray, key: jax.Array,
+                           g_params, *, max_bounces: int = 3,
+                           mirror_threshold: float = 0.9,
+                           background=(2.0, 2.0, 5.0),
+                           guide_fn: Optional[Callable] = None,
+                           g_apply=None, g_dtype=None,
+                           fb_prob: float = 1.0,
+                           collect_stats: bool = True):
     dtype = origins.dtype
     R = origins.shape[0]
     bg = jnp.asarray(background, dtype)
@@ -196,7 +237,7 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         rlx, rly, rlz = vec.reflect_c(dx, dy, dz, hit.nx, hit.ny, hit.nz)
         dfx, dfy, dfz = sampling.cosine_weighted_c(k_diff, hit.nx, hit.ny,
                                                    hit.nz, "renderer")
-        if guide_fn is not None:
+        if guide_fn is not None or g_apply is not None:
             use_fb = diffuse & (jax.random.uniform(k_fb, (R,), dtype) < fb_prob)
             obs = make_observation(
                 jnp.stack([hit.px, hit.py, hit.pz], -1),
@@ -204,7 +245,9 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                 jnp.stack([dx, dy, dz], -1),
                 jnp.full((R,), k, dtype),
                 jnp.zeros((R, 3), dtype), scene, hit.idx, max_bounces)
-            action = jnp.clip(guide_fn(obs), -1.0, 1.0)
+            raw = (g_apply(g_params, obs, g_dtype) if g_apply is not None
+                   else guide_fn(obs))
+            action = jnp.clip(raw, -1.0, 1.0)
             fbx, fby, fbz = sampling.fb_action_to_direction_c(
                 action, hit.nx, hit.ny, hit.nz, "renderer")
             dfx = jnp.where(use_fb, fbx, dfx)

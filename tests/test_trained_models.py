@@ -14,6 +14,7 @@ import pytest
 
 MODEL = Path(__file__).parents[1] / "models" / "fb_chandelier_trained.npz"
 COMPLEX_MODEL = Path(__file__).parents[1] / "models" / "fb_complex_trained.npz"
+MULTI_MODEL = Path(__file__).parents[1] / "models" / "fb_multi_scene_trained.npz"
 
 
 @pytest.mark.skipif(not MODEL.exists(), reason="shipped model missing")
@@ -48,3 +49,27 @@ def test_shipped_complex_model_improves_light_hits():
     imp = (fb["light_hits"] / max(1, trad["light_hits"])
            / max(1e-9, fb["total_rays"] / max(1, trad["total_rays"])))
     assert imp > 5.0, f"complex light-hit improvement degraded: {imp}"
+
+
+@pytest.mark.skipif(not MULTI_MODEL.exists(), reason="shipped model missing")
+def test_shipped_multi_scene_model_generalizes_at_render_level():
+    """The multi-scene GENERALIST must improve small-light transport at
+    render time on scenes it never trained on (training used variations
+    0-99; held-out evals use 1000+, matching ship_models.py eval-multi).
+    Measured 1.69-1.78x across cornell variations {1001, 1007, 1013} at
+    this config (CPU, seed 5); pinned with margin.  This is the
+    render-level counterpart of the 1.7-1.9x episode-level held-out ratio
+    (models/fb_multi_scene_held_out.json)."""
+    from raytracer_tpu.compare.harness import run_comparison
+    from raytracer_tpu.scene.templates import generate_scene
+
+    scene, name = generate_scene("cornell_box", 1007)
+    stats = run_comparison(scene, camera_position=(0.0, 0.5, 0.0),
+                           width=100, height=50, samples_per_pixel=4,
+                           max_bounces=8, model_path=str(MULTI_MODEL),
+                           out_dir="/tmp/_multi_generalist_check",
+                           scene_name=name, save_png=False, impl="fused",
+                           seed=5)
+    imp = stats["comparison"]["small_light_improvement"]
+    assert stats["fb"]["fb_used"] > 0
+    assert imp > 1.3, f"held-out cornell improvement degraded: {imp}"
