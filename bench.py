@@ -231,6 +231,35 @@ def main():
     except Exception as e:                                  # pragma: no cover
         log(f"800x600 path bench failed: {e!r}")
 
+    # --- amortized device compute for the path tracer: marginal cost of
+    # one more 800x600@8spp frame inside ONE program, via the public
+    # camera-path serving API (render/animation.py — same dispatch-floor
+    # argument as the whitted chain below).
+    try:
+        from raytracer_tpu.render.animation import (orbit_eyes,
+                                                    render_path_frames,
+                                                    scene_focus)
+        focus = scene_focus(scene)
+
+        def frames(n):
+            eyes = orbit_eyes(focus, 6.0, 2.0, n)
+            img, _ = render_path_frames(
+                scene, key, eyes, focus, width=800, height=600, spp=8,
+                max_bounces=MB, mirror_threshold=0.0,
+                background=p["background"])
+            return img
+
+        t1f, _ = time_steady(lambda: frames(1), iters=3)
+        t4f, _ = time_steady(lambda: frames(4), iters=3)
+        pdev_ms = max(t4f - t1f, 1e-6) / 3 * 1e3
+        prays = 800 * 600 * 8                       # camera samples/frame
+        log(f"path 800x600@8spp device compute (amortized): "
+            f"{pdev_ms:.1f} ms/frame "
+            f"({prays/(pdev_ms/1e3)/1e6:.0f} Msamples/s)")
+        extra["path_800x600_device_ms"] = round(pdev_ms, 2)
+    except Exception as e:                                  # pragma: no cover
+        log(f"path device-compute bench failed: {e!r}")
+
     # --- secondary: 800x600 chandelier whitted frame (north star <50 ms) -
     try:
         from raytracer_tpu.render.camera import perspective_rays

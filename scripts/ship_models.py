@@ -241,15 +241,34 @@ def cmd_eval_multi(args):
     print(f"wrote {out}")
 
 
+# Default cameras for the 8 multi-scene templates (scene interiors sit
+# around (0, ~0.5-1, 4); the path camera looks +z from the origin plane).
+_TEMPLATE_CAMERAS = {
+    "cornell_box": (0.0, 0.5, 0.0), "mirror_maze": (0.0, 0.5, 0.0),
+    "glass_gallery": (0.0, 0.5, 0.0), "simple_challenging": (0.0, 0.5, 0.0),
+    "many_lights": (0.0, 0.5, 0.0), "occluded_lights": (0.0, 0.5, 0.0),
+}
+
+
 def _scene_setup(which: str):
+    """``chandelier`` / ``complex`` / any multi-scene template, optionally
+    with a variation: ``cornell_box``, ``cornell_box:7``."""
     if which == "chandelier":
         from raytracer_tpu.scene.library import chandelier_scene
         scene, _, _, p = chandelier_scene()
         return scene, p["camera_position"]
-    from raytracer_tpu.scene.complex import (create_camera_for_scene,
-                                             create_complex_scene)
-    scene, _, _ = create_complex_scene()
-    return scene, create_camera_for_scene()
+    if which == "complex":
+        from raytracer_tpu.scene.complex import (create_camera_for_scene,
+                                                 create_complex_scene)
+        scene, _, _ = create_complex_scene()
+        return scene, create_camera_for_scene()
+    from raytracer_tpu.scene.templates import TEMPLATES, generate_scene
+    name, _, var = which.partition(":")
+    if name not in TEMPLATES:
+        raise SystemExit(f"unknown scene {which!r}; expected chandelier, "
+                         f"complex, or one of {sorted(TEMPLATES)}")
+    scene, _ = generate_scene(name, int(var) if var else 0)
+    return scene, _TEMPLATE_CAMERAS.get(name, (0.0, 0.5, 0.0))
 
 
 def cmd_distill(args):
@@ -300,10 +319,20 @@ def cmd_distill_ensemble(args):
 def cmd_eval(args):
     _force_cpu(args)
     from raytracer_tpu.compare.harness import (chandelier_comparison,
-                                               complex_comparison)
-    fn = (chandelier_comparison if args.scene == "chandelier"
-          else complex_comparison)
+                                               complex_comparison,
+                                               run_comparison)
     w, h = (int(x) for x in args.size.split("x"))
+    if args.scene == "chandelier":
+        fn = chandelier_comparison
+    elif args.scene == "complex":
+        fn = complex_comparison
+    else:
+        scene, cam = _scene_setup(args.scene)
+
+        def fn(**kw):
+            return run_comparison(scene, camera_position=cam,
+                                  scene_name=args.scene.replace(":", "_v"),
+                                  impl="fused", **kw)
     stats = fn(model_path=args.model, width=w, height=h,
                samples_per_pixel=args.spp, max_bounces=args.bounces,
                seed=args.seed, save_png=False,
@@ -352,8 +381,8 @@ def main(argv=None):
     em.set_defaults(fn=cmd_eval_multi)
 
     d = sub.add_parser("distill")
-    d.add_argument("--scene", choices=["chandelier", "complex"],
-                   required=True)
+    d.add_argument("--scene", required=True,
+                   help="chandelier, complex, or a template (cornell_box[:var])")
     d.add_argument("--teacher", required=True)
     d.add_argument("--out", required=True)
     d.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
@@ -368,8 +397,8 @@ def main(argv=None):
     d.set_defaults(fn=cmd_distill)
 
     de = sub.add_parser("distill-ensemble")
-    de.add_argument("--scene", choices=["chandelier", "complex"],
-                    required=True)
+    de.add_argument("--scene", required=True,
+                    help="chandelier, complex, or a template (cornell_box[:var])")
     de.add_argument("--teachers", nargs="+", required=True,
                     help="teacher checkpoints; the FIRST wins ties")
     de.add_argument("--out", required=True)
@@ -382,8 +411,8 @@ def main(argv=None):
     de.set_defaults(fn=cmd_distill_ensemble)
 
     e = sub.add_parser("eval")
-    e.add_argument("--scene", choices=["chandelier", "complex"],
-                   required=True)
+    e.add_argument("--scene", required=True,
+                   help="chandelier, complex, or a template (cornell_box[:var])")
     e.add_argument("--model", required=True)
     e.add_argument("--size", default="100x50")
     e.add_argument("--spp", type=int, default=4)
