@@ -35,6 +35,12 @@ REGISTRY = {
     ("chandelier", "standard"): "fb_chandelier_distilled.npz",
     ("complex", "wide"): "fb_complex_distilled.npz",
     ("complex", "standard"): "fb_complex_distilled.npz",
+    # Per-TYPE students distilled from the multi-scene generalist
+    # (hindsight aim-sharpened; beat the full teacher on held-out
+    # variations — STATUS.md).  Template names as in scene/templates.py;
+    # "cornell_box:1007"-style variation suffixes resolve to the type.
+    ("cornell_box", "wide"): "fb_cornell_distilled.npz",
+    ("cornell_box", "standard"): "fb_cornell_distilled.npz",
 }
 
 
@@ -47,6 +53,7 @@ def model_path_for(scene_name: str, width: int, height: int,
     """Best shipped student checkpoint for this scene + camera, or None if
     nothing registered/on disk."""
     d = models_dir or _MODELS_DIR
+    scene_name = scene_name.partition(":")[0]       # cornell_box:1007 → type
     name = REGISTRY.get((scene_name, aspect_band(width, height)))
     if name is None:
         return None

@@ -135,6 +135,14 @@ def test_guide_registry_routes_by_aspect():
     assert out.shape == (4, 2) and np.isfinite(out).all()
     assert hasattr(guide, "_fused_spec")
 
+    # Template scenes route to the per-type students (variation suffixes
+    # resolve to the type).
+    cornell = registry.model_path_for("cornell_box:1007", 200, 100)
+    if cornell is not None:
+        assert cornell.endswith("fb_cornell_distilled.npz")
+        assert (registry.model_path_for("cornell_box", 800, 600)
+                == registry.model_path_for("cornell_box:3", 800, 600))
+
 
 def test_best_of_teachers_selects_hitting_action():
     """Outcome-selected ensemble targets (fb/distill.py
