@@ -251,12 +251,18 @@ def main():
 
         t1f, _ = time_steady(lambda: frames(1), iters=3)
         t4f, _ = time_steady(lambda: frames(4), iters=3)
-        pdev_ms = max(t4f - t1f, 1e-6) / 3 * 1e3
-        prays = 800 * 600 * 8                       # camera samples/frame
-        log(f"path 800x600@8spp device compute (amortized): "
-            f"{pdev_ms:.1f} ms/frame "
-            f"({prays/(pdev_ms/1e3)/1e6:.0f} Msamples/s)")
-        extra["path_800x600_device_ms"] = round(pdev_ms, 2)
+        if t4f <= t1f:
+            # Relay variance swamped the marginal cost — a 0-or-negative
+            # delta would poison the driver-read metric; flag instead.
+            log(f"path device-compute measurement invalid this run "
+                f"(t1={t1f*1e3:.0f} ms, t4={t4f*1e3:.0f} ms; relay noise)")
+        else:
+            pdev_ms = (t4f - t1f) / 3 * 1e3
+            prays = 800 * 600 * 8                   # camera samples/frame
+            log(f"path 800x600@8spp device compute (amortized): "
+                f"{pdev_ms:.1f} ms/frame "
+                f"({prays/(pdev_ms/1e3)/1e6:.0f} Msamples/s)")
+            extra["path_800x600_device_ms"] = round(pdev_ms, 2)
     except Exception as e:                                  # pragma: no cover
         log(f"path device-compute bench failed: {e!r}")
 

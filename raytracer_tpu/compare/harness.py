@@ -92,6 +92,18 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
     ``impl="fused"`` and chunk | spp) — quality comparisons at 64+ spp
     whose full wavefront would not fit in HBM.
     """
+    fb_spp_val = (samples_per_pixel if fb_samples_per_pixel is None
+                  else fb_samples_per_pixel)
+    if spp_chunk is not None:
+        # Validate BOTH sides up front — render_path's own check would
+        # only fire on the fb side after the (expensive) traditional
+        # render already completed.
+        for label, v in (("samples_per_pixel", samples_per_pixel),
+                         ("fb_samples_per_pixel", fb_spp_val)):
+            if v > spp_chunk and v % spp_chunk:
+                raise ValueError(
+                    f"{label}={v} not divisible by spp_chunk={spp_chunk}")
+
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     out = Path(out_dir or f"./{scene_name}_comparison_{timestamp}")
     out.mkdir(parents=True, exist_ok=True)
@@ -106,8 +118,7 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
         guide = agent.as_guide_fn() if agent.loaded else None
         fb_prob = 1.0 if agent.loaded else 0.0
 
-    fb_spp = (samples_per_pixel if fb_samples_per_pixel is None
-              else fb_samples_per_pixel)
+    fb_spp = fb_spp_val
     key = jax.random.key(seed)
     k1, k2 = jax.random.split(key)
 

@@ -173,23 +173,21 @@ def render_whitted_frames(scene: Scene, glights: GlobalLights,
 def _render_path_frames(scene: Scene, key, eyes, targets, *, height, width,
                         spp, max_bounces, fov, mirror_threshold, background,
                         guide_fn, fb_prob, collect_stats):
-    # Big-net guide params ride as jit arguments (trace/path.split_guide) —
-    # closed-over weights inlined into this frame-batched program would
-    # SIGILL the TPU compiler.
-    from ..trace.path import split_guide
-    guide_fn, g_params, g_apply, g_dtype = split_guide(guide_fn)
-    return _render_path_frames_jit(
-        scene, key, eyes, targets, g_params, height=height, width=width,
-        spp=spp, max_bounces=max_bounces, fov=fov,
-        mirror_threshold=mirror_threshold, background=background,
-        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
+    # Big-net guide params ride as jit arguments
+    # (trace/path.call_with_split_guide) — closed-over weights inlined
+    # into this frame-batched program would SIGILL the TPU compiler.
+    from ..trace.path import call_with_split_guide
+    return call_with_split_guide(
+        _render_path_frames_jit, guide_fn, scene, key, eyes, targets,
+        height=height, width=width, spp=spp, max_bounces=max_bounces,
+        fov=fov, mirror_threshold=mirror_threshold, background=background,
         fb_prob=fb_prob, collect_stats=collect_stats)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "spp", "max_bounces",
                                    "fov", "mirror_threshold", "guide_fn",
                                    "g_apply", "g_dtype", "collect_stats"))
-def _render_path_frames_jit(scene: Scene, key, eyes, targets, g_params, *,
+def _render_path_frames_jit(scene: Scene, key, eyes, targets, *, g_params,
                             height, width, spp, max_bounces, fov,
                             mirror_threshold, background, guide_fn, g_apply,
                             g_dtype, fb_prob, collect_stats):

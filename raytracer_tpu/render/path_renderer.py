@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from ..scene.types import Scene
-from ..trace.path import (PathStats, _trace_path_fused_impl, split_guide,
-                          trace_path)
+from ..trace.path import (PathStats, _trace_path_fused_impl,
+                          call_with_split_guide, trace_path)
 from .camera import perspective_rays
 
 
@@ -50,21 +50,19 @@ def _render_path_fused(scene, key, *, width, height, spp, max_bounces, fov,
                        camera_position, mirror_threshold, background,
                        guide_fn, fb_prob, collect_stats):
     # Big-net guides' params ride as jit arguments, not closed-over
-    # constants (trace/path.split_guide — inlined weights SIGILL the TPU
-    # compiler); this outer jit boundary must route them too.
-    guide_fn, g_params, g_apply, g_dtype = split_guide(guide_fn)
-    return _render_path_fused_jit(
-        scene, key, g_params, width=width, height=height, spp=spp,
-        max_bounces=max_bounces, fov=fov, camera_position=camera_position,
-        mirror_threshold=mirror_threshold, background=background,
-        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
-        fb_prob=fb_prob, collect_stats=collect_stats)
+    # constants (trace/path.call_with_split_guide — inlined weights SIGILL
+    # the TPU compiler); this outer jit boundary must route them too.
+    return call_with_split_guide(
+        _render_path_fused_jit, guide_fn, scene, key, width=width,
+        height=height, spp=spp, max_bounces=max_bounces, fov=fov,
+        camera_position=camera_position, mirror_threshold=mirror_threshold,
+        background=background, fb_prob=fb_prob, collect_stats=collect_stats)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
                                    "mirror_threshold", "guide_fn", "g_apply",
                                    "g_dtype", "fov", "collect_stats"))
-def _render_path_fused_jit(scene, key, g_params, *, width, height, spp,
+def _render_path_fused_jit(scene, key, *, g_params, width, height, spp,
                            max_bounces, fov, camera_position,
                            mirror_threshold, background, guide_fn, g_apply,
                            g_dtype, fb_prob, collect_stats):
@@ -84,13 +82,11 @@ def _render_path_fused_jit(scene, key, g_params, *, width, height, spp,
 def _render_path_chunked(scene, key, *, width, height, spp_chunk, chunks,
                          max_bounces, fov, camera_position, mirror_threshold,
                          background, guide_fn, fb_prob, collect_stats):
-    guide_fn, g_params, g_apply, g_dtype = split_guide(guide_fn)
-    return _render_path_chunked_jit(
-        scene, key, g_params, width=width, height=height,
-        spp_chunk=spp_chunk, chunks=chunks, max_bounces=max_bounces,
-        fov=fov, camera_position=camera_position,
+    return call_with_split_guide(
+        _render_path_chunked_jit, guide_fn, scene, key, width=width,
+        height=height, spp_chunk=spp_chunk, chunks=chunks,
+        max_bounces=max_bounces, fov=fov, camera_position=camera_position,
         mirror_threshold=mirror_threshold, background=background,
-        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
         fb_prob=fb_prob, collect_stats=collect_stats)
 
 
@@ -98,7 +94,7 @@ def _render_path_chunked(scene, key, *, width, height, spp_chunk, chunks,
                                    "max_bounces", "mirror_threshold",
                                    "guide_fn", "g_apply", "g_dtype", "fov",
                                    "collect_stats"))
-def _render_path_chunked_jit(scene, key, g_params, *, width, height,
+def _render_path_chunked_jit(scene, key, *, g_params, width, height,
                              spp_chunk, chunks, max_bounces, fov,
                              camera_position, mirror_threshold, background,
                              guide_fn, g_apply, g_dtype, fb_prob,

@@ -164,12 +164,10 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     the multi-scene agent under impl="fused").  Distilled students stay on
     the static-closure path: their ~10 KB of literals fuse harmlessly.
     """
-    guide_fn, g_params, g_apply, g_dtype = split_guide(guide_fn)
-    return _trace_path_fused_impl(
-        scene, origins, dirs, key, g_params, max_bounces=max_bounces,
-        mirror_threshold=mirror_threshold, background=background,
-        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
-        fb_prob=fb_prob, collect_stats=collect_stats)
+    return call_with_split_guide(
+        _trace_path_fused_impl, guide_fn, scene, origins, dirs, key,
+        max_bounces=max_bounces, mirror_threshold=mirror_threshold,
+        background=background, fb_prob=fb_prob, collect_stats=collect_stats)
 
 
 def split_guide(guide_fn):
@@ -183,6 +181,18 @@ def split_guide(guide_fn):
     if spec is not None and len(spec) > 2 and spec[2] is not None:
         return None, spec[0], spec[2], spec[1]
     return guide_fn, None, None, None
+
+
+def call_with_split_guide(jit_fn, guide_fn, *args, **kw):
+    """Invoke a jitted render/trace function with a guide's parameters
+    routed AROUND the jit boundary (split_guide) — the one place the
+    split/route dance lives, so every new jit boundary above trace_path
+    gets the big-net-safe routing structurally instead of by convention.
+    ``jit_fn`` must accept ``g_params`` (traced pytree kwarg) and the
+    static kwargs ``guide_fn`` / ``g_apply`` / ``g_dtype``."""
+    guide_fn, g_params, g_apply, g_dtype = split_guide(guide_fn)
+    return jit_fn(*args, g_params=g_params, guide_fn=guide_fn,
+                  g_apply=g_apply, g_dtype=g_dtype, **kw)
 
 
 @partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",

@@ -241,15 +241,6 @@ def cmd_eval_multi(args):
     print(f"wrote {out}")
 
 
-# Default cameras for the 8 multi-scene templates (scene interiors sit
-# around (0, ~0.5-1, 4); the path camera looks +z from the origin plane).
-_TEMPLATE_CAMERAS = {
-    "cornell_box": (0.0, 0.5, 0.0), "mirror_maze": (0.0, 0.5, 0.0),
-    "glass_gallery": (0.0, 0.5, 0.0), "simple_challenging": (0.0, 0.5, 0.0),
-    "many_lights": (0.0, 0.5, 0.0), "occluded_lights": (0.0, 0.5, 0.0),
-}
-
-
 def _scene_setup(which: str):
     """``chandelier`` / ``complex`` / any multi-scene template, optionally
     with a variation: ``cornell_box``, ``cornell_box:7``."""
@@ -264,11 +255,14 @@ def _scene_setup(which: str):
         return scene, create_camera_for_scene()
     from raytracer_tpu.scene.templates import TEMPLATES, generate_scene
     name, _, var = which.partition(":")
-    if name not in TEMPLATES:
+    if name not in TEMPLATES or (var and not var.isdigit()):
         raise SystemExit(f"unknown scene {which!r}; expected chandelier, "
-                         f"complex, or one of {sorted(TEMPLATES)}")
+                         f"complex, or one of {sorted(TEMPLATES)} with an "
+                         f"optional integer variation (cornell_box:7)")
     scene, _ = generate_scene(name, int(var) if var else 0)
-    return scene, _TEMPLATE_CAMERAS.get(name, (0.0, 0.5, 0.0))
+    # Template interiors all sit around (0, ~0.5-1, 4); the path camera
+    # looks +z from the origin plane.
+    return scene, (0.0, 0.5, 0.0)
 
 
 def cmd_distill(args):
