@@ -73,12 +73,31 @@ def cmd_animate(args):
     from .scene import library
     from .utils.io import save_apng, save_image
 
-    fn = {"true_original": library.true_original_scene,
-          "planets2": library.planets2_scene,
-          "marbles4": library.marbles4_scene,
-          "chandelier": library.chandelier_scene,
-          "custom": library.custom_scene}[args.scene]
-    scene, gl, pl, p = fn()
+    names = {"true_original": library.true_original_scene,
+             "planets2": library.planets2_scene,
+             "marbles4": library.marbles4_scene,
+             "chandelier": library.chandelier_scene,
+             "custom": library.custom_scene}
+    if args.scene in names:
+        scene, gl, pl, p = names[args.scene]()
+    else:
+        # Multi-scene templates (cornell_box[:var]) — emissive-sphere-lit
+        # path-tracer scenes with no global/point lights, so only the
+        # path tracer applies; the registry routes per-type students.
+        from .scene.templates import TEMPLATES, generate_scene
+        tname, _, var = args.scene.partition(":")
+        if tname not in TEMPLATES or (var and not var.isdigit()):
+            raise SystemExit(
+                f"unknown scene {args.scene!r}; expected one of "
+                f"{sorted(names)} or a template {sorted(TEMPLATES)} "
+                f"with an optional integer variation (cornell_box:7)")
+        if args.tracer != "path":
+            raise SystemExit(f"template scene {args.scene!r} has no "
+                             f"global/point lights; use --tracer path")
+        scene, _ = generate_scene(tname, int(var) if var else 0)
+        gl = pl = None
+        p = {"camera_position": (0.0, 0.5, 0.0), "max_bounces": 8,
+             "background": (2.0, 2.0, 5.0)}
     target = (np.asarray(args.target, float) if args.target
               else scene_focus(scene))
     cam = np.asarray(p["camera_position"], float)
@@ -483,8 +502,9 @@ def main(argv=None):
     an = sub.add_parser("animate", help="orbit animation, all frames in "
                                         "one device dispatch")
     an.add_argument("--scene", default="chandelier",
-                    choices=["true_original", "planets2", "marbles4",
-                             "chandelier", "custom"])
+                    help="library scene (true_original/planets2/marbles4/"
+                         "chandelier/custom) or, with --tracer path, a "
+                         "multi-scene template (cornell_box[:var])")
     an.add_argument("--frames", type=int, default=12)
     an.add_argument("--width", type=int, default=320)
     an.add_argument("--height", type=int, default=240)

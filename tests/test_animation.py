@@ -188,3 +188,25 @@ def test_cli_animate_path_tracer(tmp_path, capsys):
     assert stats["tracer"] == "path" and stats["total_rays"] > 0
     assert not stats["guided"]
     assert (out / "animation.png").exists()
+
+
+def test_cli_animate_template_scene(tmp_path, capsys):
+    """Template scenes animate through the path tracer with registry
+    routing (the cornell student); whitted is rejected (templates have no
+    global/point lights)."""
+    import pytest as _pytest
+
+    from raytracer_tpu.cli import main
+    out = tmp_path / "anim_cornell"
+    main(["animate", "--scene", "cornell_box:1007", "--tracer", "path",
+          "--guide", "registry", "--frames", "2", "--width", "16",
+          "--height", "8", "--spp", "1", "--bounces", "2",
+          "--out-dir", str(out)])
+    stats = json.loads((out / "animation_stats.json").read_text())
+    assert stats["tracer"] == "path" and stats["total_rays"] > 0
+    with _pytest.raises(SystemExit):
+        main(["animate", "--scene", "cornell_box:1007",
+              "--out-dir", str(out)])          # whitted on a template
+    with _pytest.raises(SystemExit):
+        main(["animate", "--scene", "nope", "--tracer", "path",
+              "--out-dir", str(out)])
