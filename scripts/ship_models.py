@@ -163,46 +163,88 @@ def _config_from_ckpt(path):
                        if k in fields})
 
 
+class _StudentEvalApply:
+    """Hashable ``(params, obs, proto) -> action-mean`` adapter putting a
+    DistilledGuide student behind the trajectory generator's agent-shaped
+    guide interface (the proto is ignored — students bake the light
+    conditioning in at distillation time)."""
+
+    def __init__(self, hidden):
+        from raytracer_tpu.fb.distill import StudentPolicy
+        self.hidden = tuple(hidden)
+        self._student = StudentPolicy(hidden=self.hidden)
+
+    def __hash__(self):
+        return hash(self.hidden)
+
+    def __eq__(self, other):
+        return (isinstance(other, _StudentEvalApply)
+                and other.hidden == self.hidden)
+
+    def __call__(self, params, obs, proto):
+        return self._student.apply({"params": params}, obs)
+
+
 def cmd_eval_multi(args):
     """Held-out multi-scene evaluation — the STRICT episode hit fraction
     (did a ≤max_bounces walk land exactly on an emissive sphere) of the
     deterministic policy with a per-scene light prototype, against the
     cosine random walk, on scenes the trainer never saw (seeds 1000+,
     cycling the 8 templates).  This pins the provenance of the "1.9×
-    held-out" number in STATUS.md / the shipped report."""
+    held-out" number in STATUS.md / the shipped report.
+
+    ``--type`` restricts to one template (held-out variations of that
+    type only) and ``--model`` may be a distilled student — together they
+    measure a per-type student against its teacher on the SAME episode
+    metric and scenes."""
     _force_cpu(args)
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from raytracer_tpu.fb.agent import FBResearchAgent
+    from raytracer_tpu.compare.harness import _is_distilled
     from raytracer_tpu.fb.inference import (TrainedFBAgent,
                                             small_light_indices)
     from raytracer_tpu.fb.trainer import _CYCLE
     from raytracer_tpu.fb.trajectory import generate_trajectories
     from raytracer_tpu.scene import templates
 
-    cfg = _config_from_ckpt(args.model)
-    agent = FBResearchAgent(cfg, seed=0)
-    agent.load(args.model)
+    distilled = _is_distilled(args.model)
+    if distilled:
+        from raytracer_tpu.fb.config import FBConfig
+        from raytracer_tpu.fb.distill import DistilledGuide
+        student = DistilledGuide.load(args.model)
+        guide_apply = _StudentEvalApply(student.hidden)
+        guide_params = student.params
+        cfg = FBConfig()                     # max_bounces=8, episode budget
+    else:
+        from raytracer_tpu.fb.agent import FBResearchAgent
+        cfg = _config_from_ckpt(args.model)
+        agent = FBResearchAgent(cfg, seed=0)
+        agent.load(args.model)
+        guide_apply = agent.guide_apply
+        guide_params = agent.params
     key = jax.random.key(args.seed)
     rows = []
     for i in range(args.scenes):
-        stype = _CYCLE[i % len(_CYCLE)]
+        stype = args.type or _CYCLE[i % len(_CYCLE)]
         scene, name = templates.generate_scene(stype, 1000 + i, pad_to=64)
         idx = small_light_indices(scene)
         if idx.size == 0:
             em = np.asarray(scene.emitive) > 0
             real = np.asarray(scene.radius) > 0
             idx = np.nonzero(em & real)[0]
-        ta = TrainedFBAgent(args.model, scene, idx, (0.0, 2.0, 0.0),
-                            config=cfg)
-        proto = jnp.asarray(ta.light_prototype)
+        if distilled:
+            proto = jnp.zeros((cfg.z_dim,), jnp.float32)     # unused
+        else:
+            ta = TrainedFBAgent(args.model, scene, idx, (0.0, 2.0, 0.0),
+                                config=cfg)
+            proto = jnp.asarray(ta.light_prototype)
         key, kp, kr = jax.random.split(key, 3)
         pol = generate_trajectories(
             scene, kp, num_walkers=args.episodes,
             max_steps=cfg.max_bounces, start_bias="small",
-            guide_apply=agent.guide_apply, guide_params=agent.params,
+            guide_apply=guide_apply, guide_params=guide_params,
             guide_proto=proto, guide_prob=1.0, guide_noise=0.0)
         rnd = generate_trajectories(
             scene, kr, num_walkers=args.episodes,
@@ -366,7 +408,10 @@ def main(argv=None):
         c.set_defaults(fn=fn)
 
     em = sub.add_parser("eval-multi")
-    em.add_argument("--model", default="models/fb_multi_scene_trained.npz")
+    em.add_argument("--model", default="models/fb_multi_scene_trained.npz",
+                    help="full agent .npz, or a distilled student")
+    em.add_argument("--type", default=None,
+                    help="restrict to one template type (e.g. cornell_box)")
     em.add_argument("--scenes", type=int, default=100)
     em.add_argument("--episodes", type=int, default=256)
     em.add_argument("--seed", type=int, default=0)

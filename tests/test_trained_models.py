@@ -10,6 +10,7 @@ strongest on 4:3 views where wall/floor surfaces dominate — measured
 the teacher pin runs at a 4:3 probe config."""
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 MODEL = Path(__file__).parents[1] / "models" / "fb_chandelier_trained.npz"
@@ -73,3 +74,49 @@ def test_shipped_multi_scene_model_generalizes_at_render_level():
     imp = stats["comparison"]["small_light_improvement"]
     assert stats["fb"]["fb_used"] > 0
     assert imp > 1.3, f"held-out cornell improvement degraded: {imp}"
+
+
+CORNELL_STUDENT = Path(__file__).parents[1] / "models" / "fb_cornell_distilled.npz"
+
+
+@pytest.mark.skipif(not CORNELL_STUDENT.exists(), reason="model missing")
+def test_cornell_student_beats_teacher_on_episode_metric():
+    """The per-type student must hold its advantage on the STRICT
+    held-out episode metric too (ship_models.py eval-multi --type
+    cornell_box): measured student 3.23x vs teacher 2.56x vs random at
+    24 scenes x 256 episodes.  Reduced config here; pins that the
+    _StudentEvalApply adapter drives the trajectory generator and that
+    the student clearly beats the random walk."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ship_models", Path(__file__).parents[1] / "scripts" /
+        "ship_models.py")
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.fb.config import FBConfig
+    from raytracer_tpu.fb.distill import DistilledGuide
+    from raytracer_tpu.fb.trajectory import generate_trajectories
+    from raytracer_tpu.scene import templates
+
+    student = DistilledGuide.load(str(CORNELL_STUDENT))
+    apply_fn = sm._StudentEvalApply(student.hidden)
+    cfg = FBConfig()
+    scene, _ = templates.generate_scene("cornell_box", 1005, pad_to=64)
+    kp, kr = jax.random.split(jax.random.key(0))
+    pol = generate_trajectories(
+        scene, kp, num_walkers=512, max_steps=cfg.max_bounces,
+        start_bias="small", guide_apply=apply_fn,
+        guide_params=student.params,
+        guide_proto=jnp.zeros((cfg.z_dim,), jnp.float32),
+        guide_prob=1.0, guide_noise=0.0)
+    rnd = generate_trajectories(scene, kr, num_walkers=512,
+                                max_steps=cfg.max_bounces,
+                                start_bias="small")
+    p = float(np.asarray(pol.episode_hit).mean())
+    r = float(np.asarray(rnd.episode_hit).mean())
+    assert p > 1.5 * max(r, 1e-9), f"student {p:.4f} vs random {r:.4f}"
