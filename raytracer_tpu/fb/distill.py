@@ -326,6 +326,28 @@ def distill(teacher_guide_fn, obs: np.ndarray, *, seed: int = 0,
                          final_loss=float(loss), n_obs=n)
 
 
+class _TrajectoryStudentApply:
+    """Hashable ``(params, obs, proto) -> action-mean`` adapter putting a
+    distilled student behind the trajectory generator's agent-shaped guide
+    interface (the proto is ignored — students bake the light conditioning
+    in at distillation time).  Hash/eq on the architecture only, so jitted
+    callers cache one compile per student width."""
+
+    def __init__(self, hidden: Tuple[int, ...]):
+        self.hidden = tuple(hidden)
+        self._student = StudentPolicy(hidden=self.hidden)
+
+    def __hash__(self):
+        return hash(self.hidden)
+
+    def __eq__(self, other):
+        return (isinstance(other, _TrajectoryStudentApply)
+                and other.hidden == self.hidden)
+
+    def __call__(self, params, obs, proto):
+        return self._student.apply({"params": params}, obs)
+
+
 class DistilledGuide:
     """Deployment guide: ``obs[R,22] → action[R,2]`` through the student."""
 
@@ -366,6 +388,13 @@ class DistilledGuide:
         # arguments, the guide stops being a separate dispatch per level.
         guide._fused_spec = (params, dtype)
         return guide
+
+    def as_trajectory_guide(self):
+        """``(guide_apply, guide_params)`` for
+        fb/trajectory.generate_trajectories — evaluates the student as the
+        walk policy (episode-level held-out evals of per-type students;
+        scripts/ship_models.py eval-multi)."""
+        return _TrajectoryStudentApply(self.hidden), self.params
 
     # -- persistence (same flat-npz convention as utils/checkpoint) -------
     def save(self, path: str, obs_dim: int = 22) -> None:

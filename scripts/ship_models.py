@@ -163,28 +163,6 @@ def _config_from_ckpt(path):
                        if k in fields})
 
 
-class _StudentEvalApply:
-    """Hashable ``(params, obs, proto) -> action-mean`` adapter putting a
-    DistilledGuide student behind the trajectory generator's agent-shaped
-    guide interface (the proto is ignored — students bake the light
-    conditioning in at distillation time)."""
-
-    def __init__(self, hidden):
-        from raytracer_tpu.fb.distill import StudentPolicy
-        self.hidden = tuple(hidden)
-        self._student = StudentPolicy(hidden=self.hidden)
-
-    def __hash__(self):
-        return hash(self.hidden)
-
-    def __eq__(self, other):
-        return (isinstance(other, _StudentEvalApply)
-                and other.hidden == self.hidden)
-
-    def __call__(self, params, obs, proto):
-        return self._student.apply({"params": params}, obs)
-
-
 def cmd_eval_multi(args):
     """Held-out multi-scene evaluation — the STRICT episode hit fraction
     (did a ≤max_bounces walk land exactly on an emissive sphere) of the
@@ -214,8 +192,7 @@ def cmd_eval_multi(args):
         from raytracer_tpu.fb.config import FBConfig
         from raytracer_tpu.fb.distill import DistilledGuide
         student = DistilledGuide.load(args.model)
-        guide_apply = _StudentEvalApply(student.hidden)
-        guide_params = student.params
+        guide_apply, guide_params = student.as_trajectory_guide()
         cfg = FBConfig()                     # max_bounces=8, episode budget
     else:
         from raytracer_tpu.fb.agent import FBResearchAgent
