@@ -85,16 +85,8 @@ def test_cornell_student_beats_teacher_on_episode_metric():
     held-out episode metric too (ship_models.py eval-multi --type
     cornell_box): measured student 3.23x vs teacher 2.56x vs random at
     24 scenes x 256 episodes.  Reduced config here; pins that the
-    _StudentEvalApply adapter drives the trajectory generator and that
-    the student clearly beats the random walk."""
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "ship_models", Path(__file__).parents[1] / "scripts" /
-        "ship_models.py")
-    sm = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(sm)
-
+    DistilledGuide.as_trajectory_guide adapter drives the trajectory
+    generator and that the student clearly beats the random walk."""
     import jax
     import jax.numpy as jnp
 
@@ -104,14 +96,14 @@ def test_cornell_student_beats_teacher_on_episode_metric():
     from raytracer_tpu.scene import templates
 
     student = DistilledGuide.load(str(CORNELL_STUDENT))
-    apply_fn = sm._StudentEvalApply(student.hidden)
+    apply_fn, guide_params = student.as_trajectory_guide()
     cfg = FBConfig()
     scene, _ = templates.generate_scene("cornell_box", 1005, pad_to=64)
     kp, kr = jax.random.split(jax.random.key(0))
     pol = generate_trajectories(
         scene, kp, num_walkers=512, max_steps=cfg.max_bounces,
         start_bias="small", guide_apply=apply_fn,
-        guide_params=student.params,
+        guide_params=guide_params,
         guide_proto=jnp.zeros((cfg.z_dim,), jnp.float32),
         guide_prob=1.0, guide_noise=0.0)
     rnd = generate_trajectories(scene, kr, num_walkers=512,
