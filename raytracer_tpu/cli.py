@@ -135,7 +135,8 @@ def cmd_animate(args):
                  "total_rays": int(stats.total_rays),
                  "light_hits": int(stats.light_hits),
                  "small_light_hits": int(stats.small_light_hits),
-                 "fb_used": int(stats.fb_used)}
+                 "fb_used": int(stats.fb_used),
+                 "fb_success": int(stats.fb_success)}
     else:
         t0 = time.time()
         frames = render_whitted_frames(scene, gl, pl, origins, dirs,

@@ -160,8 +160,14 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
     td["samples_per_pixel"] = samples_per_pixel
     fd = _stats_dict(fb_stats, fb_time)
     fd["samples_per_pixel"] = fb_spp
+    # fb_success is the honest counter (guided bounces whose subpath
+    # terminated on a light — PathStats.fb_success), NOT the reference's
+    # trivial fb_success == fb_used (complex.py:548); the success RATE the
+    # reference prints (complex.py:746-748) ships in the json too.
     fd["fb_used"] = int(fb_stats.fb_used)
-    fd["fb_success"] = int(fb_stats.fb_used)
+    fd["fb_success"] = int(fb_stats.fb_success)
+    fd["fb_success_rate"] = (fd["fb_success"] / fd["fb_used"]
+                             if fd["fb_used"] else 0.0)
 
     stats = {
         "traditional": td,

@@ -18,9 +18,22 @@ fori_loop carries are f32/i32; masks inside a level are fine because the
 level loop is a Python unroll.  The refraction walk is a fixed 10-step
 unroll gated per level on a scalar any-glass predicate via lax.cond.
 
-Measured (1x v5e, 800x600 chandelier frame, max_bounces=5): 6.9 ms vs
-26.8 ms for the componentized XLA tracer — and vs ~58 s for the
-reference's per-pixel Python recursion (RL/ray.py:160-231).
+Measured (1x v5e, 800x600 chandelier frame, max_bounces=5, one protocol
+same session — bench.py publishes both every run):
+
+* wall-clock single dispatch: XLA 26.1 ms vs Pallas 26.6 ms — parity;
+  both sit on this environment's ~25 ms per-dispatch relay floor (an
+  earlier session recorded Pallas at 6.9 ms wall, which did not
+  reproduce under the same-session protocol — relay weather, see
+  STATUS.md "per-dispatch floor").
+* device compute, amortized over an in-program chain: XLA ~1.1 ms vs
+  Pallas ~1.7 ms — XLA's loop fusions win once the layout is
+  componentized, so the XLA tracer stays the default and this kernel
+  ships as the equality-tested alternative backend
+  (``render_whitted(..., impl="pallas")``).
+
+Reference hot loop being replaced either way: ~58 s of per-pixel Python
+recursion (RL/ray.py:160-231).
 """
 from __future__ import annotations
 

@@ -55,13 +55,23 @@ _CONT = 3       # continuing: fold albedo/direct with the deeper value
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PathStats:
-    """The reference renderers' stats counters (complex.py:270-276)."""
+    """The reference renderers' stats counters (complex.py:270-276).
+
+    ``fb_success`` is measured honestly here: the number of guided
+    (FB-sampled) bounces whose lane's subpath later terminated on an
+    emissive sphere.  The reference increments fb_success unconditionally
+    right after choose_direction (complex.py:548 — trivially equal to
+    fb_used); its output6.py:519 variant counts "guide returned a usable
+    direction".  This counter is the statistic both were reaching for:
+    guided bounces that actually found light, so fb_success ≤ fb_used and
+    ``fb_success / fb_used`` is a real success rate."""
 
     total_rays: jnp.ndarray
     total_intersections: jnp.ndarray
     light_hits: jnp.ndarray
     small_light_hits: jnp.ndarray
     fb_used: jnp.ndarray
+    fb_success: jnp.ndarray
 
 
 def _direct_lighting_c(scene, px, py, pz, nx, ny, nz, idx, emissive_mask,
@@ -263,9 +273,8 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
             dfx = jnp.where(use_fb, fbx, dfx)
             dfy = jnp.where(use_fb, fby, dfy)
             dfz = jnp.where(use_fb, fbz, dfz)
-            fb_count = jnp.sum(use_fb)
         else:
-            fb_count = jnp.zeros((), jnp.int32)
+            use_fb = jnp.zeros((R,), bool)
 
         nox = hit.px + hit.nx * 0.001                    # offset origin
         noy = hit.py + hit.ny * 0.001
@@ -286,8 +295,8 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
         ab = take_small(scene.colour[:, 2], hit.idx).astype(dtype)
         level_stats = (jnp.sum(running), jnp.sum(found), jnp.sum(emis),
                        jnp.sum(found & take_small(small_mask, hit.idx)),
-                       fb_count)
-        out = (state, ar, ag, ab, dr, dg, db)
+                       jnp.sum(use_fb))
+        out = (state, ar, ag, ab, dr, dg, db, use_fb)
         return (ox, oy, oz, dx, dy, dz, running & cont), (out, level_stats)
 
     keys = jax.random.split(key, max_bounces)
@@ -297,7 +306,7 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
     (*_, still_running), (recs, stats_seq) = jax.lax.scan(
         level, carry0, (jnp.arange(max_bounces, dtype=dtype), keys))
 
-    states, ars, ags, abs_, drs, dgs, dbs = recs         # [L, R] each
+    states, ars, ags, abs_, drs, dgs, dbs, fbms = recs   # [L, R] each
 
     # Reverse fold: value flows from the deepest level back to the camera.
     # Lanes still running after L levels hit the bounce-budget background.
@@ -335,16 +344,23 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
         # still running after L levels make one extra trace() call that the
         # reference counts before its bounce-budget early return.
         total_rays = jnp.sum(stats_seq[0]) + jnp.sum(still_running)
+        # A guided bounce "succeeded" if its lane later terminated on an
+        # emissive sphere.  Each lane terminates at most once (the scan
+        # masks it _INACTIVE afterwards), and use_fb only fires on
+        # continuing diffuse lanes, so the lane-level emissive flag is
+        # exactly "the subpath below this bounce found light".
+        term_emis = jnp.any(states == _EMISSIVE, axis=0)
         stats = PathStats(
             total_rays=total_rays,
             total_intersections=jnp.sum(stats_seq[1]),
             light_hits=jnp.sum(stats_seq[2]),
             small_light_hits=jnp.sum(stats_seq[3]),
             fb_used=jnp.sum(stats_seq[4]),
+            fb_success=jnp.sum(fbms & term_emis[None, :]),
         )
     else:
         z = jnp.zeros((), jnp.int32)
-        stats = PathStats(z, z, z, z, z)
+        stats = PathStats(z, z, z, z, z, z)
     return rgb, stats
 
 
@@ -478,7 +494,7 @@ def _level_kernel_guided(scene: Scene, o, d, running, subkey, lvl,
     action = apply_fn(guide_params, obs, guide_dtype)
     use_fb = diffuse & (fb_u < fb_prob)
     d2 = _apply_guide(action, normal, use_fb, d2, diffuse)
-    return (o2, d2, running2, state, albedo, direct, jnp.sum(use_fb), stats)
+    return (o2, d2, running2, state, albedo, direct, use_fb, stats)
 
 
 @jax.jit
@@ -562,18 +578,18 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
     # loop always runs max_bounces levels (inactive lanes are masked).
     recs = []
     stats_dev = []
-    fb_used_dev = []
+    fb_masks = []
     for k in range(max_bounces):
         lvl = jnp.asarray(float(k), dtype)
         if fused_spec is not None:
-            (o, d, running, state, albedo, direct, fb_used, stats) = \
+            (o, d, running, state, albedo, direct, use_fb, stats) = \
                 _level_kernel_guided(
                     scene, o, d, running, keys[k], lvl, g_params,
                     fb_prob_arr, max_bounces=max_bounces,
                     mirror_threshold=mirror_threshold,
                     use_pallas=use_pallas, guide_dtype=g_dtype,
                     guide_apply=g_apply)
-            fb_used_dev.append(fb_used)
+            fb_masks.append(use_fb)
             recs.append((state, albedo, direct))
             stats_dev.append(stats)
             continue
@@ -586,7 +602,7 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
             use_fb = diffuse & (fb_u < fb_prob)
             action = guide(obs)
             d = _apply_guide(action, normal, use_fb, d, diffuse)
-            fb_used_dev.append(jnp.sum(use_fb))
+            fb_masks.append(use_fb)
         recs.append((state, albedo, direct))
         stats_dev.append(stats)
 
@@ -598,12 +614,29 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
     sums = [sum(s[i] for s in stats_dev) for i in range(4)]
     still = jnp.sum(running)
     zi = jnp.int32
+    if fb_masks:
+        term_emis = _terminated_emissive([r[0] for r in recs])
+        fb_used = sum(jnp.sum(m) for m in fb_masks).astype(zi)
+        fb_success = sum(jnp.sum(m & term_emis) for m in fb_masks).astype(zi)
+    else:
+        fb_used = jnp.zeros((), zi)
+        fb_success = jnp.zeros((), zi)
     stats = PathStats(
         total_rays=(sums[0] + still).astype(zi),
         total_intersections=sums[1].astype(zi),
         light_hits=sums[2].astype(zi),
         small_light_hits=sums[3].astype(zi),
-        fb_used=(sum(fb_used_dev).astype(zi) if fb_used_dev
-                 else jnp.zeros((), zi)),
+        fb_used=fb_used,
+        fb_success=fb_success,
     )
     return value, stats
+
+
+@jax.jit
+def _terminated_emissive(states):
+    """[R] mask: the lane's (unique) terminal state was _EMISSIVE — see
+    PathStats.fb_success."""
+    out = states[0] == _EMISSIVE
+    for st in states[1:]:
+        out = out | (st == _EMISSIVE)
+    return out

@@ -154,3 +154,85 @@ def test_guided_sampling_hook():
                            guide_fn=guide, fb_prob=1.0)
     np.testing.assert_array_equal(np.asarray(rgb1), np.asarray(rgb2))
     assert int(st1.fb_used) >= 1
+
+
+def _normal_guide(obs):
+    """Guide that always bounces straight along the surface normal
+    (action (-1, 0) → θ=0 in the renderer tangent frame)."""
+    a = jnp.zeros(obs.shape[:-1] + (2,), obs.dtype)
+    return a.at[..., 0].set(-1.0)
+
+
+def test_fb_success_counts_light_terminated_subpaths():
+    """fb_success = guided bounces whose lane later terminated on a light
+    (PathStats.fb_success) — not the reference's trivial == fb_used.
+
+    Geometry: camera hits the diffuse sphere, the guided bounce travels
+    along the normal straight into the light → 1 used, 1 succeeded."""
+    b = SceneBuilder()
+    b.add_sphere((0, 0, -5), 1.0, (200, 100, 50), id=1)                # diffuse
+    b.add_sphere((0, 0, 3), 0.3, (255, 255, 240), emitive=1.0, id=2)   # light
+    scene, _, _ = b.build()
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    for impl in ("fused", "stepwise"):
+        rgb, st = trace_path(scene, o, d, jax.random.key(0), max_bounces=3,
+                             guide_fn=_normal_guide, fb_prob=1.0, impl=impl)
+        assert int(st.fb_used) == 1, impl
+        assert int(st.fb_success) == 1, impl
+        assert int(st.light_hits) == 1, impl
+
+
+def test_fb_success_zero_when_guided_bounce_misses():
+    """Guided bounce that escapes to the background succeeds nothing."""
+    b = SceneBuilder()
+    b.add_sphere((0, 0, -5), 1.0, (200, 100, 50), id=1)                # diffuse
+    b.add_sphere((0, 9, 0), 0.3, (255, 255, 240), emitive=1.0, id=2)   # light
+    scene, _, _ = b.build()
+
+    def tangent_guide(obs):
+        # action (1, 0) → θ=π/2: bounce in the tangent plane (+x here),
+        # away from everything.
+        a = jnp.zeros(obs.shape[:-1] + (2,), obs.dtype)
+        return a.at[..., 0].set(1.0)
+
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    for impl in ("fused", "stepwise"):
+        rgb, st = trace_path(scene, o, d, jax.random.key(0), max_bounces=3,
+                             guide_fn=tangent_guide, fb_prob=1.0, impl=impl)
+        assert int(st.fb_used) == 1, impl
+        assert int(st.fb_success) == 0, impl
+
+
+def test_fb_success_credits_every_guided_bounce_on_the_lane():
+    """A light reached after TWO guided bounces credits both (each bounce's
+    subpath terminated on the light)."""
+    b = SceneBuilder()
+    b.add_sphere((0, 0, -5), 1.0, (200, 100, 50), id=1)        # diffuse A
+    b.add_sphere((0.5, 0, 3), 1.0, (90, 120, 150), id=2)       # diffuse B
+    # Light on B's normal-bounce ray (see hand geometry below), off the
+    # camera axis and off the A→B corridor.
+    b.add_sphere((-1.0, 0, 0.4), 0.2, (255, 255, 240), emitive=1.0, id=3)
+    scene, _, _ = b.build()
+    # Camera → A at (0,0,-4), n=(0,0,1); guided bounce +z → B at
+    # (0,0,2.134), n=(-0.5,0,-0.866); guided bounce along n → light at
+    # t≈2 (centre (-1,0,0.4) sits on that ray).
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    for impl in ("fused", "stepwise"):
+        rgb, st = trace_path(scene, o, d, jax.random.key(0), max_bounces=4,
+                             guide_fn=_normal_guide, fb_prob=1.0, impl=impl)
+        assert int(st.light_hits) == 1, impl
+        assert int(st.fb_used) == 2, impl
+        assert int(st.fb_success) == 2, impl
+
+
+def test_fb_success_zero_without_guide():
+    scene = _simple_scene()
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    for impl in ("fused", "stepwise"):
+        _, st = trace_path(scene, o, d, jax.random.key(0), max_bounces=3,
+                           impl=impl)
+        assert int(st.fb_used) == 0 and int(st.fb_success) == 0, impl
