@@ -41,7 +41,7 @@ def gen_true_original():
 
     OUT.mkdir(parents=True, exist_ok=True)
     exp = output5.CustomSceneExperiment(output_dir=str(OUT / "_ref_tmp"))
-    spheres = output5.create_custom_scene()
+    spheres = output5.create_custom_scene()["custom_scene"]
     t0 = time.time()
     img = exp.render_true_original(spheres, OUT / "_ref_tmp" / "true.png")
     print(f"reference render_true_original: {time.time() - t0:.1f}s")
