@@ -224,10 +224,26 @@ class SACTrainer:
         return np.asarray(a[0] if a.shape[0] == 1 else a)
 
     def save(self, path):
-        import pickle
+        """``.npz`` → flat numpy archive (the shipped-checkpoint format:
+        no pickle execution on load, like the FB checkpoints); anything
+        else → pickle (the original in-repo format)."""
         from pathlib import Path
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+        if str(path).endswith(".npz"):
+            import json as _json
+            flat = {}
+            for tree, prefix in ((self.actor_params, "actor"),
+                                 (self.critic_params, "critic")):
+                for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                    key = prefix + "".join("/" + str(k.key) for k in kp)
+                    flat[key] = np.asarray(leaf)
+            flat["log_alpha"] = np.asarray(float(self.log_alpha))
+            flat["__config__"] = np.frombuffer(
+                _json.dumps(dataclasses.asdict(self.cfg)).encode(), np.uint8)
+            np.savez(path, **flat)
+            return
+        import pickle
         with open(path, "wb") as f:
             pickle.dump({"actor": to_np(self.actor_params),
                          "critic": to_np(self.critic_params),
@@ -235,6 +251,22 @@ class SACTrainer:
                          "config": dataclasses.asdict(self.cfg)}, f)
 
     def load(self, path):
+        if str(path).endswith(".npz"):
+            with np.load(path) as z:
+                trees = {"actor": {}, "critic": {}}
+                for key in z.files:
+                    if key in ("log_alpha", "__config__"):
+                        continue
+                    prefix, _, rest = key.partition("/")
+                    node = trees[prefix]
+                    parts = rest.split("/")
+                    for p in parts[:-1]:
+                        node = node.setdefault(p, {})
+                    node[parts[-1]] = jnp.asarray(z[key])
+                self.actor_params = trees["actor"]
+                self.critic_params = trees["critic"]
+                self.log_alpha = jnp.asarray(float(z["log_alpha"]))
+            return
         import pickle
         with open(path, "rb") as f:
             ck = pickle.load(f)

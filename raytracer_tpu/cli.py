@@ -445,6 +445,9 @@ def cmd_interactive(args, input_fn=input):
 def cmd_rl_pipeline(args):
     """The full pipeline of RL/ray_tracer_rl_complete.py: train → evaluate →
     benchmark RL vs random."""
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from .agents.sac import SACConfig, SACTrainer
     from .compare.workbench import compare_rl_vs_random, evaluate_policy
     from .env.raytracer_env import RayTracerEnv
@@ -455,7 +458,9 @@ def cmd_rl_pipeline(args):
                        max_bounces=8, global_lights=gl, point_lights=pl,
                        variant="rl")
     tr = SACTrainer(env, SACConfig(learning_starts=min(1000,
-                                                       args.timesteps // 4)),
+                                                       args.timesteps // 4),
+                                   tensorboard_log=getattr(
+                                       args, "tensorboard_log", None)),
                     seed=args.seed)
     print("training...")
     print(json.dumps(tr.train(args.timesteps)))
@@ -464,8 +469,12 @@ def cmd_rl_pipeline(args):
     policy = lambda obs: tr.predict(obs, deterministic=True)
     print(json.dumps(evaluate_policy(env, policy, episodes=50)))
     print("benchmark vs random...")
-    print(json.dumps(compare_rl_vs_random(env, policy, episodes=100),
+    from pathlib import Path
+    bench_out = str(Path(args.out).with_suffix("")) + "_benchmark.json"
+    print(json.dumps(compare_rl_vs_random(env, policy, episodes=100,
+                                          out_path=bench_out),
                      indent=2))
+    print(f"wrote {bench_out}")
 
 
 def _enable_compilation_cache():
@@ -590,6 +599,12 @@ def main(argv=None):
     rp.add_argument("--timesteps", type=int, default=20_000)
     rp.add_argument("--seed", type=int, default=0)
     rp.add_argument("--out", default="raytracer_final.pkl")
+    rp.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (training steps the env one "
+                         "small dispatch at a time — the tunneled TPU's "
+                         "per-dispatch floor dominates there; inference/"
+                         "rendering still belongs on TPU)")
+    rp.add_argument("--tensorboard-log", default=None)
     rp.set_defaults(fn=cmd_rl_pipeline)
 
     args = p.parse_args(argv)

@@ -229,7 +229,8 @@ class MultiSceneFBTrainer:
         }
 
     # -- held-out evaluation ----------------------------------------------
-    def test_on_scene(self, scene: Scene, num_tests: int = 200) -> dict:
+    def test_on_scene(self, scene: Scene, num_tests: int = 200,
+                      action_fn=None) -> dict:
         """Held-out test in the style of ``test_on_chandelier``
         (FB/train_chandelier_only.py:199-300): sample random surface points,
         query the agent, cast ONE test ray, measure light hit rates against
@@ -241,7 +242,12 @@ class MultiSceneFBTrainer:
         random rates sit near zero and the number carries little signal)
         and a scene-core draw (``*_core`` keys, the 1/(1+r) bias the
         trainers start walks from), which is where aiming skill is
-        measurable."""
+        measurable.
+
+        ``action_fn(obs[N,22]) -> action[N,2]`` substitutes another policy
+        (e.g. a distilled student's guide_fn) for the agent on the SAME
+        protocol/keys — used by ship_models.py heldout-chandelier so the
+        shipped artifact compares teacher and student one-step rates."""
         from ..core.intersect import nearest_hit
         from ..trace import sampling
         from ..trace.path import make_observation
@@ -261,7 +267,11 @@ class MultiSceneFBTrainer:
                                   jnp.zeros((num_tests,)),
                                   jnp.zeros((num_tests, 3)), scene, idx,
                                   float(self.config.max_bounces))
-            action, _ = self.agent.choose_direction_research(np.asarray(obs))
+            if action_fn is not None:
+                action = np.asarray(action_fn(np.asarray(obs)))
+            else:
+                action, _ = self.agent.choose_direction_research(
+                    np.asarray(obs))
             d = sampling.fb_action_to_direction(jnp.asarray(action), normal,
                                                 "trainer")
             hit = nearest_hit(point + normal * 0.001, d, scene,

@@ -356,6 +356,96 @@ def cmd_eval(args):
                       "comparison": stats["comparison"]}, indent=2))
 
 
+def cmd_heldout_chandelier(args):
+    """Regenerate ``models/fb_chandelier_held_out.json`` for the SHIPPED
+    pipeline, on the held-out chandelier variation 99 (the trainer never
+    saw it — FB/train_chandelier_only.py:199-300 protocol):
+
+    * the teacher's one-step surface probe (agent vs solid-angle random),
+    * the deployed distilled student's one-step probe on the SAME keys,
+    * a render-level comparison on the same held-out scene, and
+    * the measured explanation of the one-step-vs-render divergence
+      (STATUS.md v5 finding 1), recorded INSIDE the artifact so no shipped
+      number contradicts the README without comment."""
+    _force_cpu(args)
+    import jax
+
+    from raytracer_tpu.compare.harness import run_comparison
+    from raytracer_tpu.fb.distill import DistilledGuide
+    from raytracer_tpu.fb.trainer import ChandelierOnlyTrainer
+    from raytracer_tpu.scene import templates
+
+    cfg = _config_from_ckpt(args.teacher)
+    tr = ChandelierOnlyTrainer(num_training_scenes=0, config=cfg,
+                               output_dir="/tmp/_heldout_probe",
+                               seed=args.seed)
+    tr.agent.load(args.teacher)
+    scene, _ = templates.generate_scene("chandelier_scene", 99,
+                                        pad_to=tr.PAD_TO)
+    tr._key = jax.random.key(args.seed + 99)
+    teacher = tr.test_on_scene(scene, num_tests=args.tests)
+
+    student = DistilledGuide.load(args.student)
+    sfn = student.as_guide_fn(dtype=None)
+    tr._key = jax.random.key(args.seed + 99)          # identical probe keys
+    stud = tr.test_on_scene(scene, num_tests=args.tests, action_fn=sfn)
+
+    scene_r, cam = _scene_setup("chandelier_scene:99")
+    w, h = (int(x) for x in args.render_size.split("x"))
+    rstats = run_comparison(
+        scene_r, camera_position=cam, width=w, height=h,
+        samples_per_pixel=args.render_spp, max_bounces=8,
+        model_path=args.student, seed=args.render_seed, save_png=False,
+        impl="fused", out_dir="/tmp/_heldout_render",
+        scene_name="chandelier_heldout")
+
+    report = {
+        "protocol": {
+            "held_out_scene": "chandelier_scene variation 99 "
+                              "(training used variations < num_scenes)",
+            "one_step_probe": "FB/train_chandelier_only.py:199-300 — "
+                              "random surface point, one policy ray, hit "
+                              "rate vs cosine random baseline",
+            "render_probe": f"{w}x{h}@{args.render_spp}spp max_bounces=8 "
+                            f"seed={args.render_seed} equal-spp comparison "
+                            "(compare/harness.py)",
+            "teacher": str(args.teacher),
+            "student": str(args.student),
+            "num_tests": args.tests,
+        },
+        "teacher_one_step": teacher,
+        "student_one_step": stud,
+        "render_level": {
+            "small_light_improvement":
+                rstats["comparison"]["small_light_improvement"],
+            "speedup": rstats["comparison"]["speedup"],
+            "fb_success_rate": rstats["fb"].get("fb_success_rate"),
+            "deployment_artifacts": [
+                "showcase/chandelier_deployment_800x600/statistics.json",
+                "showcase/chandelier_comparison_trained/statistics.json",
+            ],
+        },
+        "explanation": (
+            "One-step surface-probe hit rates and multi-bounce render "
+            "improvement measure different skills and are expected to "
+            "diverge (measured, STATUS.md v5 finding 1: distillation "
+            "variants that RAISED one-step aimed-hit rates COLLAPSED "
+            "rendered improvement).  The probe draws uniform random "
+            "surface points and counts single-ray light hits; the render "
+            "metric accumulates guided bounces along camera-reachable "
+            "paths over 8 levels.  The deployment claim for this model "
+            "family is the render-level one, pinned in tests/test_distill"
+            ".py and tests/test_trained_models.py; the probe numbers are "
+            "recorded here for protocol parity with the reference."),
+    }
+    out = args.out or "models/fb_chandelier_held_out.json"
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(json.dumps(report, indent=2))
+    print(f"wrote {out}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
