@@ -270,7 +270,8 @@ def distill(teacher_guide_fn, obs: np.ndarray, *, seed: int = 0,
             batch_size: int = 65536, learning_rate: float = 3e-3,
             jitter: float = 0.02,
             weights: Optional[np.ndarray] = None,
-            weight_fn=None, target_fn=None) -> DistillResult:
+            weight_fn=None, target_fn=None,
+            targets: Optional[np.ndarray] = None) -> DistillResult:
     """Fit the student to the teacher's actions on ``obs`` (+ jittered
     copies so the student generalises off the exact visited manifold).
 
@@ -291,8 +292,20 @@ def distill(teacher_guide_fn, obs: np.ndarray, *, seed: int = 0,
     # of obs would blow HBM on the activations.  ``target_fn`` (obs →
     # (targets, weights)) overrides the single-teacher path — used by
     # distill_ensemble's outcome-selected targets, and applied AFTER
-    # jittering so jittered copies get their own selection.
-    if target_fn is not None:
+    # jittering so jittered copies get their own selection.  ``targets``
+    # supplies PRECOMPUTED per-obs labels (episode-pool distillation,
+    # where targets come from per-scene teacher prototypes and cannot be
+    # recomputed from obs alone) — jittered copies inherit their
+    # original's label/weight.
+    if targets is not None:
+        target = np.asarray(targets, np.float32)
+        if weights is not None:
+            weights = np.asarray(weights, np.float32)
+        if jitter > 0:
+            target = np.concatenate([target, target])
+            if weights is not None:
+                weights = np.concatenate([weights, weights])
+    elif target_fn is not None:
         target, weights = target_fn(obs)
     else:
         target = np.clip(_chunked(teacher_guide_fn, obs), -1.0, 1.0)

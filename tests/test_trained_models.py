@@ -141,3 +141,28 @@ def test_shipped_sac_beats_random_on_light_hits_and_reward():
     rnd = evaluate_policy(env, None, episodes=512, seed=100)
     assert rl["light_hit_rate"] > rnd["light_hit_rate"] * 1.05
     assert rl["avg_reward"] > rnd["avg_reward"] * 1.5
+
+
+HELD_OUT_JSON = Path(__file__).parents[1] / "models" / \
+    "fb_chandelier_held_out.json"
+
+
+@pytest.mark.skipif(not HELD_OUT_JSON.exists(), reason="artifact missing")
+def test_chandelier_held_out_artifact_is_self_consistent():
+    """The shipped held-out artifact must carry BOTH measurement families
+    and explain their divergence inside the file (VERDICT r2 item 5: no
+    shipped artifact contradicts the README without comment)."""
+    import json
+    with open(HELD_OUT_JSON) as f:
+        d = json.load(f)
+    for k in ("protocol", "teacher_one_step", "student_one_step",
+              "render_level", "explanation"):
+        assert k in d, k
+    # The deployment claim: render-level improvement > 1 (recorded; the
+    # live render pin is test_shipped_chandelier_model_improves_*).
+    assert d["render_level"]["small_light_improvement"] > 1.0
+    # If the one-step probe sits at-or-below random (the measured state),
+    # the explanation must be present and name the divergence.
+    t = d["teacher_one_step"]
+    if t["agent_hit_rate_core"] <= t["random_hit_rate_core"]:
+        assert "diverge" in d["explanation"]
