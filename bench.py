@@ -127,6 +127,31 @@ def main():
         extra["chandelier_fb_vs_baseline"] = round(
             fb_rps / BASELINE_FB_RAYS_PER_SEC, 1)
         extra["fb_vs_traditional_speedup"] = round(fb_rps / trad_rps, 3)
+
+        # Guide-only-first-K deployment mode for the FULL agent (VERDICT
+        # r2 item 9): the policy forward dominates the guided frame, and
+        # most of the hit improvement comes from the early bounces —
+        # running the network on only the first 3 of 8 levels trades a
+        # bounded hit fraction for most of the policy cost.
+        def run_fb_k3(k=key):
+            return render_path(scene, k, width=W, height=H, spp=SPP,
+                               max_bounces=MB,
+                               camera_position=p["camera_position"],
+                               mirror_threshold=0.9, guide_fn=guide,
+                               fb_prob=1.0, impl="stepwise",
+                               guide_max_level=3)
+
+        kdt, (kimg, kstats) = time_steady(run_fb_k3)
+        k_rps = int(kstats.total_rays) / kdt
+        log(f"fb-first3:   {kdt*1e3:.1f} ms/frame, {k_rps/1e6:.2f} Mrays/s, "
+            f"fb_used={int(kstats.fb_used):,} "
+            f"small_hits={int(kstats.small_light_hits):,} "
+            f"(full-agent small_hits={int(fstats.small_light_hits):,})")
+        extra["fb_first3_vs_traditional_speedup"] = round(k_rps / trad_rps, 3)
+        if int(fstats.small_light_hits) > 0:
+            extra["fb_first3_small_hit_retention"] = round(
+                int(kstats.small_light_hits)
+                / int(fstats.small_light_hits), 3)
     except Exception as e:                                  # pragma: no cover
         log(f"fb bench failed: {e!r}")
         fb_rps = 0.0

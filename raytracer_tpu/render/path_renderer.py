@@ -135,7 +135,8 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
                 fb_prob: float = 1.0,
                 collect_stats: bool = True,
                 impl: str = "fused",
-                spp_chunk: Optional[int] = None):
+                spp_chunk: Optional[int] = None,
+                guide_max_level: Optional[int] = None):
     """Render ``[H, W, 3]`` unit-range image + PathStats.
 
     ``impl`` selects the trace implementation (see ``trace_path``);
@@ -151,6 +152,9 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
     reference's integer ``floor(sum/spp)`` over the full sample set.
     """
     cam = jnp.asarray(camera_position, jnp.float32)
+    if guide_max_level is not None and impl != "stepwise":
+        raise ValueError("guide_max_level requires impl='stepwise' "
+                         "(see trace_path)")
     if spp_chunk is not None and spp_chunk < spp:
         if impl != "fused":
             raise ValueError("spp_chunk requires impl='fused'")
@@ -177,6 +181,6 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
                             mirror_threshold=mirror_threshold,
                             background=background, guide_fn=guide_fn,
                             fb_prob=fb_prob, collect_stats=collect_stats,
-                            impl=impl)
+                            impl=impl, guide_max_level=guide_max_level)
     img = _assemble(rgb, spp=spp, height=height, width=width)
     return img, stats

@@ -128,7 +128,8 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                guide_fn: Optional[Callable] = None,
                fb_prob: float = 1.0,
                collect_stats: bool = True,
-               impl: str = "fused"):
+               impl: str = "fused",
+               guide_max_level: Optional[int] = None):
     """Trace ``[R]`` sample rays to integer sample colours ``[R, 3]``.
 
     ``guide_fn(obs[R,22]) -> action[R,2]`` enables the FB branch; actions are
@@ -141,7 +142,14 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     programs — bit-identical results (same key schedule), but compile time
     scales with ONE level instead of the whole unrolled pipeline, which
     matters on slow remote-compile TPU paths.
-    """
+
+    ``guide_max_level=K`` runs the guide network only on the first ``K``
+    levels; deeper diffuse bounces fall back to cosine sampling (same key
+    schedule either way).  Deployment knob for the FULL (non-distilled)
+    agent, whose per-level forward dominates the frame: most of the
+    measured hit-rate improvement comes from the early bounces, so
+    K=2-3 of 8 keeps most of the signal at a fraction of the policy
+    cost.  Stepwise-impl only (the guided deployment path)."""
     if impl in ("stepwise", "stepwise-pallas"):
         return _trace_path_stepwise(scene, origins, dirs, key,
                                     max_bounces=max_bounces,
@@ -149,7 +157,10 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                                     background=background, guide_fn=guide_fn,
                                     fb_prob=fb_prob,
                                     collect_stats=collect_stats,
-                                    use_pallas=(impl == "stepwise-pallas"))
+                                    use_pallas=(impl == "stepwise-pallas"),
+                                    guide_max_level=guide_max_level)
+    if guide_max_level is not None:
+        raise ValueError("guide_max_level requires impl='stepwise'")
     return _trace_path_fused(scene, origins, dirs, key,
                              max_bounces=max_bounces,
                              mirror_threshold=mirror_threshold,
@@ -555,7 +566,8 @@ def _jit_guide(guide_fn):
 def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
                          max_bounces: int, mirror_threshold: float,
                          background, guide_fn, fb_prob: float,
-                         collect_stats: bool, use_pallas: bool = False):
+                         collect_stats: bool, use_pallas: bool = False,
+                         guide_max_level: Optional[int] = None):
     dtype = origins.dtype
     R = origins.shape[0]
     bg = jnp.asarray(background, dtype)
@@ -581,6 +593,20 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
     fb_masks = []
     for k in range(max_bounces):
         lvl = jnp.asarray(float(k), dtype)
+        guided_level = (guide_max_level is None or k < guide_max_level)
+        if not guided_level and (fused_spec is not None or guide is not None):
+            # Past the guide budget: plain cosine level, no policy forward
+            # (guide-only-first-K deployment mode; key schedule unchanged —
+            # _level_kernel draws the same splits, the guide draw is
+            # simply unused).
+            (o, d, running, state, albedo, direct, _obs, _diffuse, _fb_u,
+             _normal, stats) = _level_kernel(
+                scene, o, d, running, keys[k], lvl,
+                max_bounces=max_bounces, mirror_threshold=mirror_threshold,
+                use_pallas=use_pallas, want_obs=False)
+            recs.append((state, albedo, direct))
+            stats_dev.append(stats)
+            continue
         if fused_spec is not None:
             (o, d, running, state, albedo, direct, use_fb, stats) = \
                 _level_kernel_guided(

@@ -1,0 +1,107 @@
+"""Regenerate the showcase comparison artifacts on the real TPU — one
+place that records every shipped config, so the statistics.json files
+(including the honest PathStats.fb_success counter) are reproducible:
+
+    python scripts/regen_showcase.py            # all
+    python scripts/regen_showcase.py cornell_heldout_student_800x600 ...
+
+Configs mirror STATUS.md / PARITY.md round-2 recordings; seeds pinned.
+"""
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+MODELS = REPO / "models"
+SHOW = REPO / "showcase"
+
+# name → (scene, model, kwargs)
+CONFIGS = {
+    "chandelier_comparison_trained": (
+        "chandelier", "fb_chandelier_distilled.npz",
+        dict(width=200, height=100, samples_per_pixel=8)),
+    "chandelier_2to1_specialist": (
+        "chandelier", "fb_chandelier_distilled_2to1.npz",
+        dict(width=200, height=100, samples_per_pixel=8)),
+    "chandelier_deployment_800x600": (
+        "chandelier", "fb_chandelier_distilled.npz",
+        dict(width=800, height=600, samples_per_pixel=8)),
+    "chandelier_highspp_quality": (
+        "chandelier", "fb_chandelier_distilled.npz",
+        dict(width=400, height=300, samples_per_pixel=32, spp_chunk=8,
+             impl="fused")),
+    "chandelier_highspp_matched": (
+        "chandelier", "fb_chandelier_distilled.npz",
+        dict(width=400, height=300, samples_per_pixel=32,
+             fb_samples_per_pixel=8, spp_chunk=8, impl="fused")),
+    "complex_comparison_trained": (
+        "complex", "fb_complex_distilled.npz",
+        dict(width=200, height=100, samples_per_pixel=8)),
+    "complex_matched_signal": (
+        "complex", "fb_complex_distilled.npz",
+        dict(width=800, height=600, samples_per_pixel=8,
+             fb_samples_per_pixel=2)),
+    "cornell_heldout_generalist": (
+        "cornell_box:1007", "fb_multi_scene_trained.npz",
+        dict(width=200, height=100, samples_per_pixel=8, impl="fused")),
+    "cornell_heldout_student": (
+        "cornell_box:1007", "fb_cornell_distilled.npz",
+        dict(width=200, height=100, samples_per_pixel=8, impl="fused")),
+    # VERDICT r2 item 8: the held-out student at the DEPLOYMENT shape,
+    # where compute dominates the dispatch floor.
+    "cornell_heldout_student_800x600": (
+        "cornell_box:1007", "fb_cornell_distilled.npz",
+        dict(width=800, height=600, samples_per_pixel=8, impl="stepwise")),
+    # Matched-signal twin: the student finds ~3.8x the light signal per
+    # sample, so it spends 5 of 8 spp — still >2x the traditional hit
+    # count, now at >1x wall-clock (the deployment framing).
+    "cornell_heldout_student_800x600_matched": (
+        "cornell_box:1007", "fb_cornell_distilled.npz",
+        dict(width=800, height=600, samples_per_pixel=8,
+             fb_samples_per_pixel=5, impl="stepwise", timing_iters=10)),
+}
+
+
+def run(name):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ship_models", REPO / "scripts" / "ship_models.py")
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
+    from raytracer_tpu.compare.harness import run_comparison
+
+    scene_name, model, kw = CONFIGS[name]
+    kw = dict(kw)
+    scene, cam = sm._scene_setup(
+        "chandelier" if scene_name == "chandelier" else scene_name)
+    if scene_name == "chandelier":
+        kw.setdefault("traditional_mirror_threshold", 0.0)
+    elif scene_name == "complex":
+        kw.setdefault("traditional_mirror_threshold", 0.9)
+    kw.setdefault("timing_iters", 3)
+    stats = run_comparison(
+        scene, camera_position=cam, model_path=str(MODELS / model),
+        max_bounces=8, seed=5, save_png=True,
+        out_dir=str(SHOW / name), scene_name=name, **kw)
+    c = stats["comparison"]
+    fb = stats["fb"]
+    print(json.dumps({
+        "name": name,
+        "small_light_improvement": round(c["small_light_improvement"], 3),
+        "speedup": round(c["speedup"], 3),
+        "fb_used": fb["fb_used"], "fb_success": fb["fb_success"],
+        "fb_success_rate": round(fb.get("fb_success_rate", 0), 5),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(CONFIGS)
+    for n in names:
+        run(n)

@@ -421,8 +421,13 @@ def cmd_distill_episodes(args):
     obs = np.concatenate(all_obs)
     tgt = np.concatenate(all_tgt)
     w = np.concatenate(all_w)
+    # Episode pools are small next to render pools (open-geometry walks
+    # mostly escape after a step or two), so scale the batch down to keep
+    # a useful optimiser step count.
+    bs = min(args.batch_size, max(4096, obs.shape[0] // 8))
     res = distill(None, obs, seed=args.seed, hidden=tuple(args.hidden),
-                  epochs=args.epochs, targets=tgt, weights=w)
+                  epochs=args.epochs, targets=tgt, weights=w,
+                  batch_size=bs)
     guide = DistilledGuide(res.params, res.hidden)
     guide.save(args.out)
     print(f"episode-distilled {args.teacher} on {args.type} → {args.out}: "
@@ -611,7 +616,8 @@ def main(argv=None):
                      default="models/fb_multi_scene_trained.npz")
     dep.add_argument("--out", required=True)
     dep.add_argument("--scenes", type=int, default=24)
-    dep.add_argument("--walkers", type=int, default=2048)
+    dep.add_argument("--walkers", type=int, default=8192)
+    dep.add_argument("--batch-size", type=int, default=8192)
     dep.add_argument("--noise", type=float, default=0.05)
     dep.add_argument("--hidden", type=int, nargs="+", default=[128, 128])
     dep.add_argument("--epochs", type=int, default=40)

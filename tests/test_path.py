@@ -236,3 +236,27 @@ def test_fb_success_zero_without_guide():
         _, st = trace_path(scene, o, d, jax.random.key(0), max_bounces=3,
                            impl=impl)
         assert int(st.fb_used) == 0 and int(st.fb_success) == 0, impl
+
+
+def test_guide_max_level_limits_policy_levels():
+    """guide_max_level=K runs the policy only on the first K levels
+    (stepwise deployment knob); K >= max_bounces is identical to None."""
+    b = SceneBuilder()
+    b.add_sphere((0, 0, -5), 1.0, (200, 100, 50), id=1)        # diffuse A
+    b.add_sphere((0.5, 0, 3), 1.0, (90, 120, 150), id=2)       # diffuse B
+    b.add_sphere((-1.0, 0, 0.4), 0.2, (255, 255, 240), emitive=1.0, id=3)
+    scene, _, _ = b.build()
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    kw = dict(max_bounces=4, guide_fn=_normal_guide, fb_prob=1.0,
+              impl="stepwise")
+    _, full = trace_path(scene, o, d, jax.random.key(0), **kw)
+    assert int(full.fb_used) == 2
+    _, k1 = trace_path(scene, o, d, jax.random.key(0), guide_max_level=1,
+                       **kw)
+    assert int(k1.fb_used) == 1           # only the level-0 bounce guided
+    rgb_a, eq = trace_path(scene, o, d, jax.random.key(0), guide_max_level=4,
+                           **kw)
+    rgb_b, _ = trace_path(scene, o, d, jax.random.key(0), **kw)
+    np.testing.assert_array_equal(np.asarray(rgb_a), np.asarray(rgb_b))
+    assert int(eq.fb_used) == int(full.fb_used)
