@@ -42,17 +42,20 @@ REGISTRY = {
     ("cornell_box", "wide"): "fb_cornell_distilled.npz",
     ("cornell_box", "standard"): "fb_cornell_distilled.npz",
     # Open-geometry templates have ~no render-level small-light signal
-    # (STATUS.md), so this student is validated on the held-out EPISODE
-    # metric instead: many_lights student 1.20× random vs the teacher's
-    # 0.92× on the same 24 held-out scenes × 256 episodes (seed 0;
-    # models/fb_many_lights_held_out.json).  occluded_lights is NOT
-    # registered — its student measurably collapses (0.15× vs the
-    # teacher's 1.66×): the camera-wavefront distillation pool never
-    # visits the around-the-occluder approach paths the episode walks
-    # need, so the generalist teacher stays the policy for that type
-    # (negative result recorded in STATUS.md).
+    # (STATUS.md), so these students are validated on the held-out EPISODE
+    # metric instead (24 held-out scenes × 256 episodes, seed 0):
+    # many_lights student 1.20× random vs the teacher's 0.92×
+    # (models/fb_many_lights_held_out.json); occluded_lights student
+    # 2.31× vs the teacher's 1.66× (models/fb_occluded_held_out.json).
+    # The occluded student comes from the EPISODE-WALK distillation pool
+    # (ship_models.py distill-episodes) — the camera-wavefront pool used
+    # everywhere else measurably collapses for this type (0.15×, round 2:
+    # render wavefronts never visit the around-the-occluder approach
+    # paths the episode walks need).
     ("many_lights", "wide"): "fb_many_lights_distilled.npz",
     ("many_lights", "standard"): "fb_many_lights_distilled.npz",
+    ("occluded_lights", "wide"): "fb_occluded_distilled.npz",
+    ("occluded_lights", "standard"): "fb_occluded_distilled.npz",
 }
 
 
