@@ -64,6 +64,9 @@ class MultiSceneFBTrainer:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self._key = jax.random.key(seed + 17)
         self.all_performances: list[dict] = []
+        # Set to a directory to record SB3-style tfevents during
+        # run_training (runs land in {dir}/FB_{N}/ — see utils/tb.py).
+        self.tensorboard_log: Optional[str] = None
         # Continue-training flow (the FB-track analog of the reference's
         # "3. Continue from saved model" menu, train_raytracer_improved.py:
         # 397-409): restore params / noise schedule / light memory from a
@@ -170,10 +173,23 @@ class MultiSceneFBTrainer:
         number of scenes already trained)."""
         num_scenes = num_scenes or self.num_training_scenes
         t0 = time.time()
+        tb = None
+        if getattr(self, "tensorboard_log", None):
+            # SB3-style event files like the RL trainers (utils/tb.py) —
+            # the reference records its PPO runs this way
+            # (raytracer_ppo_tensorboard/PPO_1..3); the FB track gets the
+            # same treatment: per-scene hit rate + exploration noise.
+            from ..utils.tb import SummaryWriter, next_run_dir
+            tb = SummaryWriter(next_run_dir(self.tensorboard_log, "FB"))
         for i in range(num_scenes):
             scene, name, stype = self.make_scene(scene_offset + i)
             hit_rate = self.train_on_scene(scene, name,
                                            episodes=training_steps_per_scene)
+            if tb is not None:
+                step = len(self.all_performances)
+                tb.add_scalar("train/scene_hit_rate", hit_rate * 100.0, step)
+                tb.add_scalar("train/noise_scale",
+                              float(self.agent.noise_scale), step)
             self.all_performances.append({
                 "scene": name, "scene_type": stype.split("_")[0],
                 "hit_rate": hit_rate * 100.0,
@@ -184,6 +200,8 @@ class MultiSceneFBTrainer:
             if (i + 1) % scenes_per_batch == 0:
                 bno = (i + 1) // scenes_per_batch
                 self._save_batch(bno)
+        if tb is not None:
+            tb.close()
         self.agent.save(self.output_dir / "fb_multi_scene_final.npz")
         report = self._final_report(time.time() - t0)
         with open(self.output_dir / "final_training_report.json", "w") as f:
