@@ -176,21 +176,24 @@ def _render_path_frames(scene: Scene, key, eyes, targets, *, height, width,
     # Big-net guide params ride as jit arguments
     # (trace/path.call_with_split_guide) — closed-over weights inlined
     # into this frame-batched program would SIGILL the TPU compiler.
-    from ..trace.path import call_with_split_guide
+    from ..trace.path import call_with_split_guide, emissive_indices
     return call_with_split_guide(
         _render_path_frames_jit, guide_fn, scene, key, eyes, targets,
         height=height, width=width, spp=spp, max_bounces=max_bounces,
         fov=fov, mirror_threshold=mirror_threshold, background=background,
-        fb_prob=fb_prob, collect_stats=collect_stats)
+        fb_prob=fb_prob, collect_stats=collect_stats,
+        emissive_idx=emissive_indices(scene))
 
 
 @partial(jax.jit, static_argnames=("height", "width", "spp", "max_bounces",
                                    "fov", "mirror_threshold", "guide_fn",
-                                   "g_apply", "g_dtype", "collect_stats"))
+                                   "g_apply", "g_dtype", "collect_stats",
+                                   "emissive_idx"))
 def _render_path_frames_jit(scene: Scene, key, eyes, targets, *, g_params,
                             height, width, spp, max_bounces, fov,
                             mirror_threshold, background, guide_fn, g_apply,
-                            g_dtype, fb_prob, collect_stats):
+                            g_dtype, fb_prob, collect_stats,
+                            emissive_idx=None):
     from ..trace.path import _trace_path_fused_impl
     from .path_renderer import _assemble
 
@@ -205,7 +208,8 @@ def _render_path_frames_jit(scene: Scene, key, eyes, targets, *, g_params,
             scene, o.reshape(-1, 3), d.reshape(-1, 3), k_trace, g_params,
             max_bounces=max_bounces, mirror_threshold=mirror_threshold,
             background=background, guide_fn=guide_fn, g_apply=g_apply,
-            g_dtype=g_dtype, fb_prob=fb_prob, collect_stats=collect_stats)
+            g_dtype=g_dtype, fb_prob=fb_prob, collect_stats=collect_stats,
+            emissive_idx=emissive_idx)
         return _assemble(rgb, spp=spp, height=height, width=width), stats
 
     keys = jax.random.split(key, eyes.shape[0])

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..scene.types import Scene
 from ..trace.path import (PathStats, _trace_path_fused_impl,
-                          call_with_split_guide, trace_path)
+                          call_with_split_guide, emissive_indices,
+                          trace_path)
 from .camera import perspective_rays
 
 
@@ -56,16 +57,19 @@ def _render_path_fused(scene, key, *, width, height, spp, max_bounces, fov,
         _render_path_fused_jit, guide_fn, scene, key, width=width,
         height=height, spp=spp, max_bounces=max_bounces, fov=fov,
         camera_position=camera_position, mirror_threshold=mirror_threshold,
-        background=background, fb_prob=fb_prob, collect_stats=collect_stats)
+        background=background, fb_prob=fb_prob, collect_stats=collect_stats,
+        emissive_idx=emissive_indices(scene))
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
                                    "mirror_threshold", "guide_fn", "g_apply",
-                                   "g_dtype", "fov", "collect_stats"))
+                                   "g_dtype", "fov", "collect_stats",
+                                   "emissive_idx"))
 def _render_path_fused_jit(scene, key, *, g_params, width, height, spp,
                            max_bounces, fov, camera_position,
                            mirror_threshold, background, guide_fn, g_apply,
-                           g_dtype, fb_prob, collect_stats):
+                           g_dtype, fb_prob, collect_stats,
+                           emissive_idx=None):
     k_jit, k_trace = jax.random.split(key)
     origins, dirs = _camera_bundle(
         k_jit, width=width, height=height, spp=spp, fov=fov,
@@ -74,7 +78,8 @@ def _render_path_fused_jit(scene, key, *, g_params, width, height, spp,
         scene, origins, dirs, k_trace, g_params, max_bounces=max_bounces,
         mirror_threshold=mirror_threshold, background=background,
         guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
-        fb_prob=fb_prob, collect_stats=collect_stats)
+        fb_prob=fb_prob, collect_stats=collect_stats,
+        emissive_idx=emissive_idx)
     img = _assemble(rgb, spp=spp, height=height, width=width)
     return img, stats
 
@@ -87,18 +92,19 @@ def _render_path_chunked(scene, key, *, width, height, spp_chunk, chunks,
         height=height, spp_chunk=spp_chunk, chunks=chunks,
         max_bounces=max_bounces, fov=fov, camera_position=camera_position,
         mirror_threshold=mirror_threshold, background=background,
-        fb_prob=fb_prob, collect_stats=collect_stats)
+        fb_prob=fb_prob, collect_stats=collect_stats,
+        emissive_idx=emissive_indices(scene))
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp_chunk", "chunks",
                                    "max_bounces", "mirror_threshold",
                                    "guide_fn", "g_apply", "g_dtype", "fov",
-                                   "collect_stats"))
+                                   "collect_stats", "emissive_idx"))
 def _render_path_chunked_jit(scene, key, *, g_params, width, height,
                              spp_chunk, chunks, max_bounces, fov,
                              camera_position, mirror_threshold, background,
                              guide_fn, g_apply, g_dtype, fb_prob,
-                             collect_stats):
+                             collect_stats, emissive_idx=None):
     """High-spp render at bounded memory in ONE dispatch: ``lax.map`` over
     ``chunks`` independent ``spp_chunk``-sample sub-renders, accumulating
     integer sample sums, then ONE ``floor(total / spp_total)`` — exactly
@@ -116,7 +122,8 @@ def _render_path_chunked_jit(scene, key, *, g_params, width, height,
             scene, origins, dirs, k_trace, g_params,
             max_bounces=max_bounces, mirror_threshold=mirror_threshold,
             background=background, guide_fn=guide_fn, g_apply=g_apply,
-            g_dtype=g_dtype, fb_prob=fb_prob, collect_stats=collect_stats)
+            g_dtype=g_dtype, fb_prob=fb_prob, collect_stats=collect_stats,
+            emissive_idx=emissive_idx)
         return jnp.sum(rgb.reshape(spp_chunk, height, width, 3), axis=0), stats
 
     sums, stats = jax.lax.map(one, keys)

@@ -75,16 +75,26 @@ class PathStats:
 
 
 def _direct_lighting_c(scene, px, py, pz, nx, ny, nz, idx, emissive_mask,
-                       dtype):
+                       dtype, emissive_idx=None):
     """Per-level direct term (complex.py:333-348): Σ over emissive spheres
     of ``trunc(0.3·max(0,cosθ)/d² · colour)``, skipping the hit sphere —
     unrolled per sphere in scalar components AND per rgb channel (see
     nearest_hit's layout note; the trunc makes each term integer-valued so
-    summation order is exact).  Returns ``(dr, dg, db)``."""
+    summation order is exact).  Returns ``(dr, dg, db)``.
+
+    ``emissive_idx`` (static tuple of sphere indices, ascending) restricts
+    the unroll to the CONCRETE scene's emissive spheres — bit-exact, since
+    every non-emissive sphere's term is ``trunc(0 · col) == 0`` and the
+    summation order among emissive spheres is unchanged.  On padded
+    template scenes (64 slots, ≤8 lights) this removes ~90% of the
+    direct-lighting sweep; callers derive it from a concrete scene the
+    same way renderer.material_flags specialises the refract walk."""
     dr = jnp.zeros_like(px)
     dg = jnp.zeros_like(px)
     db = jnp.zeros_like(px)
-    for s in range(scene.centre.shape[0]):
+    spheres = (range(scene.centre.shape[0]) if emissive_idx is None
+               else emissive_idx)
+    for s in spheres:
         cx, cy, cz = scene.centre[s, 0], scene.centre[s, 1], scene.centre[s, 2]
         tx, ty, tz = cx - px, cy - py, cz - pz
         d2 = tx * tx + ty * ty + tz * tz
@@ -98,6 +108,17 @@ def _direct_lighting_c(scene, px, py, pz, nx, ny, nz, idx, emissive_mask,
         dg = dg + jnp.trunc(w * col[1])
         db = db + jnp.trunc(w * col[2])
     return dr, dg, db
+
+
+def emissive_indices(scene) -> Optional[tuple]:
+    """Static emissive-sphere index tuple from a CONCRETE scene, or None
+    when the scene is traced (keep the full sweep)."""
+    try:
+        import numpy as _np
+        em = _np.asarray(scene.emitive) > 0
+        return tuple(int(i) for i in _np.nonzero(em)[0])
+    except Exception:
+        return None
 
 
 def make_observation(point, normal, ray_dir, bounce_count, colour, scene,
@@ -188,7 +209,8 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     return call_with_split_guide(
         _trace_path_fused_impl, guide_fn, scene, origins, dirs, key,
         max_bounces=max_bounces, mirror_threshold=mirror_threshold,
-        background=background, fb_prob=fb_prob, collect_stats=collect_stats)
+        background=background, fb_prob=fb_prob, collect_stats=collect_stats,
+        emissive_idx=emissive_indices(scene))
 
 
 def split_guide(guide_fn):
@@ -218,7 +240,7 @@ def call_with_split_guide(jit_fn, guide_fn, *args, **kw):
 
 @partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
                                    "guide_fn", "g_apply", "g_dtype",
-                                   "collect_stats"))
+                                   "collect_stats", "emissive_idx"))
 def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
                            dirs: jnp.ndarray, key: jax.Array,
                            g_params, *, max_bounces: int = 3,
@@ -227,7 +249,8 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
                            guide_fn: Optional[Callable] = None,
                            g_apply=None, g_dtype=None,
                            fb_prob: float = 1.0,
-                           collect_stats: bool = True):
+                           collect_stats: bool = True,
+                           emissive_idx: Optional[tuple] = None):
     dtype = origins.dtype
     R = origins.shape[0]
     bg = jnp.asarray(background, dtype)
@@ -261,7 +284,8 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
         # sequential sum is exactly the reference's.
         dr, dg, db = _direct_lighting_c(scene, hit.px, hit.py, hit.pz,
                                         hit.nx, hit.ny, hit.nz, hit.idx,
-                                        emissive_mask, dtype)
+                                        emissive_mask, dtype,
+                                        emissive_idx=emissive_idx)
 
         # Bounce direction.
         k_diff, k_fb = jax.random.split(subkey)
@@ -381,10 +405,11 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
-                                   "use_pallas", "want_obs"))
+                                   "use_pallas", "want_obs", "emissive_idx"))
 def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
                   max_bounces: int, mirror_threshold: float,
-                  use_pallas: bool = False, want_obs: bool = True):
+                  use_pallas: bool = False, want_obs: bool = True,
+                  emissive_idx: Optional[tuple] = None):
     """One path-trace level.  Internals run on [R]-shaped components (see
     nearest_hit's layout note); o/d/normal cross the program boundary as
     [R, 3] (one stack each — the boundary arrays are few and cheap next to
@@ -417,7 +442,8 @@ def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
 
     dr, dg, db = _direct_lighting_c(scene, hit.px, hit.py, hit.pz,
                                     hit.nx, hit.ny, hit.nz, hit.idx,
-                                    emissive_mask, dtype)
+                                    emissive_mask, dtype,
+                                    emissive_idx=emissive_idx)
 
     k_diff, k_fb = jax.random.split(subkey)
     rlx, rly, rlz = vec.reflect_c(dx, dy, dz, hit.nx, hit.ny, hit.nz)
@@ -479,11 +505,12 @@ def _student_forward(params, obs, dtype):
 
 @partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
                                    "use_pallas", "guide_dtype",
-                                   "guide_apply"))
+                                   "guide_apply", "emissive_idx"))
 def _level_kernel_guided(scene: Scene, o, d, running, subkey, lvl,
                          guide_params, fb_prob, *, max_bounces: int,
                          mirror_threshold: float, use_pallas: bool = False,
-                         guide_dtype=jnp.bfloat16, guide_apply=None):
+                         guide_dtype=jnp.bfloat16, guide_apply=None,
+                         emissive_idx: Optional[tuple] = None):
     """One level with the guide network FUSED into the program: obs build
     → policy forward → action → bounce direction all in one dispatch (the
     separate-program guide costs 2 extra host→device dispatches per level,
@@ -500,7 +527,7 @@ def _level_kernel_guided(scene: Scene, o, d, running, subkey, lvl,
      normal, stats) = _level_kernel(
         scene, o, d, running, subkey, lvl, max_bounces=max_bounces,
         mirror_threshold=mirror_threshold, use_pallas=use_pallas,
-        want_obs=True)
+        want_obs=True, emissive_idx=emissive_idx)
     apply_fn = guide_apply if guide_apply is not None else _student_forward
     action = apply_fn(guide_params, obs, guide_dtype)
     use_fb = diffuse & (fb_u < fb_prob)
@@ -575,6 +602,7 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
     o = origins
     running = jnp.ones((R,), bool)
     keys = jax.random.split(key, max_bounces)
+    em_idx = emissive_indices(scene)
     fused_spec = (getattr(guide_fn, "_fused_spec", None)
                   if guide_fn is not None else None)
     guide = (_jit_guide(guide_fn)
@@ -603,7 +631,7 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
              _normal, stats) = _level_kernel(
                 scene, o, d, running, keys[k], lvl,
                 max_bounces=max_bounces, mirror_threshold=mirror_threshold,
-                use_pallas=use_pallas, want_obs=False)
+                use_pallas=use_pallas, want_obs=False, emissive_idx=em_idx)
             recs.append((state, albedo, direct))
             stats_dev.append(stats)
             continue
@@ -614,7 +642,7 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
                     fb_prob_arr, max_bounces=max_bounces,
                     mirror_threshold=mirror_threshold,
                     use_pallas=use_pallas, guide_dtype=g_dtype,
-                    guide_apply=g_apply)
+                    guide_apply=g_apply, emissive_idx=em_idx)
             fb_masks.append(use_fb)
             recs.append((state, albedo, direct))
             stats_dev.append(stats)
@@ -623,7 +651,8 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
          normal, stats) = _level_kernel(
             scene, o, d, running, keys[k], lvl,
             max_bounces=max_bounces, mirror_threshold=mirror_threshold,
-            use_pallas=use_pallas, want_obs=guide is not None)
+            use_pallas=use_pallas, want_obs=guide is not None,
+            emissive_idx=em_idx)
         if guide is not None:
             use_fb = diffuse & (fb_u < fb_prob)
             action = guide(obs)

@@ -145,9 +145,12 @@ def test_guide_registry_routes_by_aspect():
     many = registry.model_path_for("many_lights:1003", 200, 100)
     if many is not None:
         assert many.endswith("fb_many_lights_distilled.npz")
-    # occluded_lights deliberately unregistered: its student collapses on
-    # the episode metric (registry.py comment) — the teacher serves it.
-    assert registry.model_path_for("occluded_lights", 800, 600) is None
+    # occluded_lights routes to the EPISODE-pool student (round-3 fix:
+    # 2.31x vs teacher 1.66x held-out — registry.py comment); round 2 had
+    # it deliberately unregistered when the render-pool student collapsed.
+    occ = registry.model_path_for("occluded_lights", 800, 600)
+    if occ is not None:
+        assert occ.endswith("fb_occluded_distilled.npz")
 
 
 def test_best_of_teachers_selects_hitting_action():
