@@ -254,8 +254,15 @@ def cmd_train_fb(args, trainer_cls=None):
            "complex": RayTracedComplexTrainer}[trainer_cls]
     scenes, steps = _fb_args(args)
     tr = cls(num_training_scenes=scenes)
+    if getattr(args, "probe_every", None):
+        tr.probe_every = args.probe_every
     report = tr.run_training(num_scenes=scenes, scenes_per_batch=20,
                              training_steps_per_scene=steps)
+    hist = report["training_summary"].get("render_probe_history")
+    if hist:
+        print(f"render probe: best improvement "
+              f"{max(h['improvement'] for h in hist):.2f}x "
+              f"(best_render_probe.npz)")
     if trainer_cls == "chandelier":
         tr.test_on_chandelier(num_tests=200)
     else:
@@ -563,6 +570,10 @@ def main(argv=None):
         t = sub.add_parser(name)
         t.add_argument("--quick", action="store_true")
         t.add_argument("--scenes", type=int, default=100)
+        t.add_argument("--probe-every", type=int, default=None,
+                       help="run the render-level probe every N scenes and "
+                            "snapshot best_render_probe.npz (render-level "
+                            "checkpoint selection)")
         t.set_defaults(fn=lambda a, w=which: cmd_train_fb(a, w))
 
     for name in ("compare-chandelier", "compare-complex"):

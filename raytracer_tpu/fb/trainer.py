@@ -163,6 +163,128 @@ class MultiSceneFBTrainer:
             n += len(steps)
         return n
 
+    # -- render-level probe --------------------------------------------------
+    # Run render_probe every N scenes during run_training (None disables).
+    # The one-step surface probe (test_on_scene) repeatedly failed to
+    # predict deployment skill — shipped chandelier models probe below
+    # random while winning renders 2.6-4x (models/fb_chandelier_held_out
+    # .json's divergence note) — so checkpoint selection needs a signal on
+    # the RENDER distribution: multi-bounce paths from camera-frustum rays.
+    probe_every: Optional[int] = None
+    # Tiny probe config: 64x32@2spp = 4,096 camera samples — cheap enough
+    # to run per batch even on CPU, large enough that the small-light hit
+    # counter moves (hundreds of hits on template interiors).
+    PROBE_WIDTH = 64
+    PROBE_HEIGHT = 32
+    PROBE_SPP = 2
+
+    def agent_guide_fn(self):
+        """``obs[R,22] -> action[R,2]`` over the LIVE agent's current
+        params + light prototype — the in-training analog of
+        TrainedFBAgent.as_guide_fn (same _AgentApply forward, f32, params
+        as jit arguments so every probe reuses one compiled level
+        program)."""
+        from .inference import _AgentApply
+        params = {"encoder": self.agent.params.encoder,
+                  "backward": self.agent.params.backward,
+                  "proto": jnp.asarray(self.agent.light_prototype())}
+        apply = _AgentApply(self.agent.enc, self.agent.bwd)
+
+        def guide(obs):
+            return apply(params, obs, None)
+
+        guide._no_rejit = True
+        guide._fused_spec = (params, None, apply)
+        return guide
+
+    # Minimum traditional-render hits for a variation to serve as the
+    # probe scene (below this the improvement ratio is noise-or-zero).
+    PROBE_MIN_SIGNAL = 8
+
+    def probe_scene(self, max_candidates: int = 10):
+        """Held-out probe scene WITH measurable signal: scan variations
+        99, 98, … and keep the first whose traditional probe render
+        records ≥ PROBE_MIN_SIGNAL hits on the scored metric.  Some
+        held-out variations have no camera-reachable light signal at all
+        (chandelier 99 — models/fb_chandelier_held_out.json's note — and
+        glass_gallery 99 both record 0 hits), which would flatline the
+        selection signal.  Falls back to variation 99 if none qualify.
+        Returns ``(scene, name, traditional_signal_hits)``."""
+        from ..render.path_renderer import render_path
+
+        fallback = None
+        for v in range(99, 99 - max_candidates, -1):
+            scene, name = self.make_scene(v)[:2]
+            if fallback is None:
+                fallback = (scene, name, 0)
+            _, ts = render_path(
+                scene, jax.random.key(0), width=self.PROBE_WIDTH,
+                height=self.PROBE_HEIGHT, spp=self.PROBE_SPP,
+                max_bounces=self.config.max_bounces,
+                camera_position=(0.0, 0.5, 0.0), mirror_threshold=0.9,
+                impl="stepwise")
+            has_small = bool(((np.asarray(scene.emitive) > 0)
+                              & (np.asarray(scene.radius) > 0)
+                              & (np.asarray(scene.radius) < 0.5)).any())
+            sig = int(ts.small_light_hits if has_small else ts.light_hits)
+            if sig >= self.PROBE_MIN_SIGNAL:
+                return scene, name, sig
+        return fallback
+
+    def render_probe(self, scene: Optional[Scene] = None,
+                     camera_position=(0.0, 0.5, 0.0), *,
+                     width: Optional[int] = None,
+                     height: Optional[int] = None,
+                     spp: Optional[int] = None, seed: int = 0,
+                     guide_fn=None) -> dict:
+        """Render-level skill probe: trace one tiny guided render and one
+        traditional render with the SAME key (same camera jitter + bounce
+        key schedule) and report the light-hit improvement on the metric
+        the deployment comparisons score (small-light hits where the scene
+        has small lights, all light hits otherwise — the same convention
+        train_on_scene uses for the success signal).
+
+        Unlike test_on_scene's one-step surface draw, every counted hit
+        here is a multi-bounce path a camera actually traces — the
+        statistic the showcase comparisons (compare/harness.py) measure,
+        at probe cost.  Deterministic in ``seed``, so a sequence of probes
+        across training is apples-to-apples.  Template-scene camera
+        convention: interiors sit around (0, ~0.5-1, 4), viewed from
+        (0, 0.5, 0) looking +z (ship_models._scene_setup)."""
+        from ..render.path_renderer import render_path
+
+        if scene is None:
+            scene = self.make_scene(99)[0]       # held-out variation
+        width = width or self.PROBE_WIDTH
+        height = height or self.PROBE_HEIGHT
+        spp = spp or self.PROBE_SPP
+        key = jax.random.key(seed)
+        kw = dict(width=width, height=height, spp=spp,
+                  max_bounces=self.config.max_bounces,
+                  camera_position=camera_position, mirror_threshold=0.9,
+                  impl="stepwise")
+        _, ts = render_path(scene, key, **kw)
+        _, gs = render_path(scene, key, fb_prob=1.0,
+                            guide_fn=guide_fn or self.agent_guide_fn(), **kw)
+        has_small = bool(((np.asarray(scene.emitive) > 0)
+                          & (np.asarray(scene.radius) > 0)
+                          & (np.asarray(scene.radius) < 0.5)).any())
+        t_small, g_small = int(ts.small_light_hits), int(gs.small_light_hits)
+        t_all, g_all = int(ts.light_hits), int(gs.light_hits)
+        t_sig, g_sig = (t_small, g_small) if has_small else (t_all, g_all)
+        return {
+            "probe": f"{width}x{height}@{spp}spp "
+                     f"max_bounces={self.config.max_bounces} seed={seed}",
+            "metric": "small_light_hits" if has_small else "light_hits",
+            "traditional_light_hits": t_all,
+            "guided_light_hits": g_all,
+            "traditional_small_light_hits": t_small,
+            "guided_small_light_hits": g_small,
+            # max(t,1): a zero-signal traditional baseline reports the raw
+            # guided count rather than inf (comparable across probes).
+            "improvement": g_sig / max(t_sig, 1),
+        }
+
     # -- main loop ---------------------------------------------------------
     def run_training(self, num_scenes: Optional[int] = None,
                      scenes_per_batch: int = 20,
@@ -170,9 +292,27 @@ class MultiSceneFBTrainer:
                      scene_offset: int = 0) -> dict:
         """``scene_offset`` shifts the variation sequence so a resumed run
         continues with scenes the interrupted run never saw (pass the
-        number of scenes already trained)."""
+        number of scenes already trained).
+
+        With ``probe_every`` set, every that-many scenes runs
+        ``render_probe`` on a held-out variation with measurable
+        traditional signal (``probe_scene``), logs it
+        (TensorBoard ``train/render_probe_improvement`` when enabled),
+        appends to ``probe_history`` (shipped inside the final report's
+        ``training_summary``), and snapshots the best-so-far params to
+        ``best_render_probe.npz`` — render-level checkpoint selection."""
         num_scenes = num_scenes or self.num_training_scenes
         t0 = time.time()
+        self.probe_history: list[dict] = []
+        probe_scene = probe_name = None
+        if self.probe_every:
+            probe_scene, probe_name, sig = self.probe_scene()
+            if sig < self.PROBE_MIN_SIGNAL:
+                print(f"render probe: no held-out variation with "
+                      f"camera-reachable signal (falling back to "
+                      f"{probe_name}; improvement will read raw guided "
+                      f"counts)")
+        best_probe = -1.0
         tb = None
         if getattr(self, "tensorboard_log", None):
             # SB3-style event files like the RL trainers (utils/tb.py) —
@@ -197,6 +337,18 @@ class MultiSceneFBTrainer:
                 "lights": int(np.sum((np.asarray(scene.emitive) > 0)
                                      & (np.asarray(scene.radius) > 0))),
             })
+            if self.probe_every and (i + 1) % self.probe_every == 0:
+                pr = self.render_probe(probe_scene)
+                pr["scene"] = probe_name
+                pr["after_scene"] = i + 1
+                self.probe_history.append(pr)
+                if tb is not None:
+                    tb.add_scalar("train/render_probe_improvement",
+                                  pr["improvement"],
+                                  len(self.all_performances) - 1)
+                if pr["improvement"] > best_probe:
+                    best_probe = pr["improvement"]
+                    self.agent.save(self.output_dir / "best_render_probe.npz")
             if (i + 1) % scenes_per_batch == 0:
                 bno = (i + 1) // scenes_per_batch
                 self._save_batch(bno)
@@ -224,14 +376,17 @@ class MultiSceneFBTrainer:
                 "max_hit_rate": float(np.max(v))}
             for t, v in by_type.items()}
         losses = [l for l in self.agent.losses if np.isfinite(l)]
+        summary = {
+            "config": self.config.to_dict(),
+            "device": self.device,
+            "total_training_time": elapsed,
+            "final_buffer_size": self.agent.buffer.size,
+            "agent_stats": self.agent.get_stats(),
+        }
+        if getattr(self, "probe_history", None):
+            summary["render_probe_history"] = self.probe_history
         return {
-            "training_summary": {
-                "config": self.config.to_dict(),
-                "device": self.device,
-                "total_training_time": elapsed,
-                "final_buffer_size": self.agent.buffer.size,
-                "agent_stats": self.agent.get_stats(),
-            },
+            "training_summary": summary,
             "performance_statistics": {
                 "total_scenes_trained": len(perfs),
                 "successful_scenes": len(perfs),

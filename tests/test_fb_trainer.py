@@ -114,6 +114,38 @@ def test_trainer_end_to_end(tmp_path):
     assert 0.0 <= held["agent_hit_rate"] <= 1.0
 
 
+def test_render_probe_deterministic_and_in_training(tmp_path):
+    """render_probe: the render-level checkpoint-selection signal (the
+    one-step surface probe does not track render skill — STATUS.md)."""
+    tr = MultiSceneFBTrainer(num_training_scenes=2, config=_tiny_cfg(),
+                             output_dir=tmp_path / "p")
+    scene, _ = templates.generate_scene("cornell_box", 99, pad_to=64)
+    a = tr.render_probe(scene, width=32, height=16, spp=1, seed=3)
+    b = tr.render_probe(scene, width=32, height=16, spp=1, seed=3)
+    assert a == b                          # deterministic in seed
+    assert a["metric"] in ("small_light_hits", "light_hits")
+    assert a["traditional_light_hits"] >= a["traditional_small_light_hits"]
+    assert a["improvement"] >= 0.0
+
+    # Probe-scene selection skips held-out variations with no camera-
+    # reachable light signal (glass_gallery 99 records 0 hits — measured).
+    ps, pname, sig = tr.probe_scene()
+    assert sig >= tr.PROBE_MIN_SIGNAL, (pname, sig)
+
+    tr.probe_every = 1
+    report = tr.run_training(num_scenes=2, scenes_per_batch=2,
+                             training_steps_per_scene=8)
+    hist = report["training_summary"]["render_probe_history"]
+    assert [h["after_scene"] for h in hist] == [1, 2]
+    assert all(np.isfinite(h["improvement"]) for h in hist)
+    assert all(h["scene"] == pname for h in hist)
+    # The selected scene has baseline signal, so the ratio is meaningful.
+    assert all(h[f"traditional_{h['metric']}"] >= tr.PROBE_MIN_SIGNAL
+               for h in hist)
+    # Best-probe params snapshot for render-level checkpoint selection.
+    assert (tmp_path / "p" / "best_render_probe.npz").exists()
+
+
 def test_trainer_resume_from_checkpoint(tmp_path):
     """Continue-training flow: a new trainer restores agent state from a
     prior run's checkpoint and keeps training on unseen variations."""
