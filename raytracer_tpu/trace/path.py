@@ -661,6 +661,22 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
         recs.append((state, albedo, direct))
         stats_dev.append(stats)
 
+    return _stepwise_epilogue(tuple(recs), tuple(stats_dev), running,
+                              tuple(fb_masks), bg)
+
+
+@jax.jit
+def _stepwise_epilogue(recs, stats_dev, running, fb_masks, bg):
+    """Reverse fold + stats aggregation for the stepwise tracer, fused into
+    ONE program.  Chaining ``_fold_level`` and the Python-sum stat
+    reductions eagerly costs ~40-50 small dispatches per frame — through
+    the tunneled TPU's fixed per-dispatch overhead that is a large share of
+    the stepwise frame's wall clock at deployment shapes, for work that is
+    a few elementwise passes on device.  The level count is baked into the
+    pytree structure, so each (max_bounces, guided?) shape compiles once.
+    Math is bit-identical to the eager chain (same ops, same order)."""
+    R = recs[0][0].shape[0]
+    dtype = bg.dtype
     value = tuple(jnp.full((R,), bg[c], dtype) for c in range(3))
     for state, albedo, direct in reversed(recs):
         value = _fold_level(state, albedo, direct, bg, value)
