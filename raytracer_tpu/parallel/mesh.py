@@ -88,29 +88,19 @@ def shard_fb_params(mesh: Mesh, params, min_dim: int = 128):
 def render_whitted_sharded(mesh: Mesh, scene, glights, plights, origins,
                            dirs, height: int, width: int, **kw):
     """Data-parallel Whitted render over the mesh: rays sharded, scene
-    replicated, GSPMD inserts the gather at image assembly."""
+    replicated, GSPMD inserts the gather at image assembly.
+
+    One code path with the single-device renderer: padded wavefronts ride
+    ``render_whitted(n_valid=...)`` so shading / miss / mode / material-flag
+    specialisation can never drift from the unsharded frame."""
     from ..render.renderer import render_whitted
 
     (o, d), n0 = shard_rays(mesh, origins, dirs)
     scene = replicate(mesh, scene)
     glights = replicate(mesh, glights)
     plights = replicate(mesh, plights)
-    if o.shape[0] != height * width:
-        # Padding changed the ray count; render flat then crop + reshape.
-        from ..trace.shade import terminal_rgb
-        from ..trace.whitted import trace_whitted
-        res = trace_whitted(scene, o, d, max_bounces=kw.get("max_bounces", 5))
-        rgb = terminal_rgb(scene, glights, plights, res,
-                           jnp.asarray(kw.get("background", (0, 0, 0)),
-                                       o.dtype))
-        miss = jnp.asarray(kw.get("miss_colour",
-                                  kw.get("background", (0, 0, 0))), o.dtype)
-        rgb = jnp.where(res.hit[:, None], rgb, miss[None, :])
-        img = rgb[:n0].reshape(height, width, 3)
-        if kw.get("mode", "unit") == "unit":
-            img = jnp.minimum(1.0, img / 255.0)
-        return img
-    return render_whitted(scene, glights, plights, o, d, height, width, **kw)
+    return render_whitted(scene, glights, plights, o, d, height, width,
+                          n_valid=n0, **kw)
 
 
 def render_whitted_frames_sharded(mesh: Mesh, scene, glights, plights,

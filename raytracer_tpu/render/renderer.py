@@ -130,7 +130,8 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
                    miss_colour: Optional[tuple] = None,
                    mode: str = "unit", use_pallas: bool = False,
                    chunk_rays: Optional[int] = None,
-                   impl: str = "auto") -> jnp.ndarray:
+                   impl: str = "auto",
+                   n_valid: Optional[int] = None) -> jnp.ndarray:
     """Render an ``[H, W, 3]`` frame.  ``miss_colour`` defaults to
     ``background`` (Planets notebooks use the background for misses;
     Marbles 4 substitutes a sky colour).
@@ -154,6 +155,12 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
     more than the dead-lane resweeps they save (800x600 whitted 132.5 ms
     compact vs 34.9 ms fused; marbles4 801x801 358.7 vs 42.6 ms), so
     ``"auto"`` resolves to fused.
+
+    ``n_valid``: when the flat wavefront carries padding rays past the
+    image (dp-sharded renders pad to a multiple of the mesh size —
+    parallel/mesh.shard_rays), only the first ``n_valid == height*width``
+    rays form the image; the padded tail traces through the same pipeline
+    and is cropped before reshape.
     """
     try:
         enable_glass, enable_mirror = material_flags(scene)
@@ -168,6 +175,9 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
               miss_colour=miss_colour, enable_glass=enable_glass,
               enable_mirror=enable_mirror, use_pallas=use_pallas)
     n = origins.shape[0]
+    n_out = n if n_valid is None else n_valid
+    if n_out != height * width:
+        raise ValueError(f"n_valid/ray count {n_out} != {height}x{width}")
     if impl == "auto":
         impl = "fused"
     if impl == "compact" and (not concrete
@@ -176,15 +186,17 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
     shade = {"compact": _shade_flat_compact,
              "pallas": _shade_flat_pallas_trace}.get(impl, _shade_flat)
 
+    def finish(flat):
+        img = flat[:n_out].reshape(height, width, 3)
+        if mode == "unit":
+            return jnp.minimum(1.0, img / 255.0)
+        if mode == "raw":
+            return img
+        raise ValueError(f"unknown mode {mode!r}")
+
     if chunk_rays is None or chunk_rays >= n:
-        if impl in ("compact", "pallas"):
-            img = shade(scene, glights, plights, origins, dirs,
-                        **kw).reshape(height, width, 3)
-            if mode == "unit":
-                return jnp.minimum(1.0, img / 255.0)
-            if mode == "raw":
-                return img
-            raise ValueError(f"unknown mode {mode!r}")
+        if impl in ("compact", "pallas") or n != n_out:
+            return finish(shade(scene, glights, plights, origins, dirs, **kw))
         return _render_whitted(scene, glights, plights, origins, dirs,
                                height, width, mode=mode, **kw)
     parts = []
@@ -194,9 +206,4 @@ def render_whitted(scene: Scene, glights: GlobalLights, plights: PointLights,
             pad = [(0, chunk_rays - o.shape[0]), (0, 0)]
             o, d = jnp.pad(o, pad, mode="edge"), jnp.pad(d, pad, mode="edge")
         parts.append(shade(scene, glights, plights, o, d, **kw))
-    img = jnp.concatenate(parts)[:n].reshape(height, width, 3)
-    if mode == "unit":
-        return jnp.minimum(1.0, img / 255.0)
-    if mode == "raw":
-        return img
-    raise ValueError(f"unknown mode {mode!r}")
+    return finish(jnp.concatenate(parts))

@@ -171,6 +171,10 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     measured hit-rate improvement comes from the early bounces, so
     K=2-3 of 8 keeps most of the signal at a fraction of the policy
     cost.  Stepwise-impl only (the guided deployment path)."""
+    if max_bounces < 1:
+        raise ValueError(f"max_bounces must be >= 1, got {max_bounces} "
+                         "(the reference's renderers always trace at least "
+                         "the camera level)")
     if impl in ("stepwise", "stepwise-pallas"):
         return _trace_path_stepwise(scene, origins, dirs, key,
                                     max_bounces=max_bounces,

@@ -23,9 +23,9 @@ def time_steady(fn, warmup=1, iters=10):
         jax.block_until_ready(fn())
     best = float("inf")
     for _ in range(iters):
-        t0 = time.time()
+        t0 = time.perf_counter()
         jax.block_until_ready(fn())
-        best = min(best, time.time() - t0)
+        best = min(best, time.perf_counter() - t0)
     return best
 
 
@@ -44,15 +44,38 @@ def main():
                                    max_bounces=8,
                                    camera_position=p["camera_position"],
                                    mirror_threshold=0.0, impl=impl)
-            t0 = time.time()
+            t0 = time.perf_counter()
             img, stats = run()
             jax.block_until_ready(img)
-            print(f"{w}x{h}@{spp} {impl}: compile+run {time.time()-t0:.1f}s",
+            print(f"{w}x{h}@{spp} {impl}: compile+run "
+                  f"{time.perf_counter()-t0:.1f}s",
                   file=sys.stderr, flush=True)
             dt = time_steady(run, iters=iters)
             rays = int(stats.total_rays)
             print(f"{w}x{h}@{spp} {impl}: {dt*1e3:.1f} ms/frame, "
                   f"{rays/dt/1e6:.2f} Mrays/s", flush=True)
+
+    # Amortized per-frame device compute of the fused program (marginal
+    # cost of one more frame inside one lax.map program), for the
+    # wall-vs-device split at both shapes.
+    from raytracer_tpu.render.animation import (orbit_eyes,
+                                                render_path_frames,
+                                                scene_focus)
+    focus = scene_focus(scene)
+    for (w, h, spp) in ((200, 100, 8), (800, 600, 8)):
+        def frames(n):
+            eyes = orbit_eyes(focus, 6.0, 2.0, n)
+            img, _ = render_path_frames(
+                scene, key, eyes, focus, width=w, height=h, spp=spp,
+                max_bounces=8, mirror_threshold=0.0,
+                background=p["background"])
+            return img
+
+        t1 = time_steady(lambda: frames(1), iters=5)
+        t4 = time_steady(lambda: frames(4), iters=5)
+        dev_ms = (t4 - t1) / 3 * 1e3
+        print(f"{w}x{h}@{spp} fused device (amortized): {dev_ms:.1f} ms, "
+              f"1-frame wall {t1*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
