@@ -66,6 +66,7 @@ class PPOTrainer:
         self.episode_rewards: list[float] = []
         self._rollout = self._build_rollout()
         self._update = self._build_update()
+        self._train_chunk = None        # built lazily (train_on_device)
 
     # ------------------------------------------------------------------
     def _build_rollout(self):
@@ -180,6 +181,69 @@ class PPOTrainer:
         return update
 
     # ------------------------------------------------------------------
+    def _build_train_chunk(self, iters: int):
+        """One compiled program running ``iters`` full PPO iterations
+        (rollout scan + 4-epoch clipped update each) back-to-back on
+        device — RL training with ZERO host round-trips inside the chunk.
+
+        This is the on-TPU demonstration the reference's SAC pipeline
+        (RL/ray_tracer_rl_complete.py:108-139) could never do: its env
+        stepped one CPU episode per transition; here the env IS the
+        batched TPU tracer, so rollout collection and optimisation live in
+        one XLA program and the tunneled dispatch floor is paid once per
+        ``iters`` iterations instead of twice per iteration."""
+        rollout, update = self._rollout, self._update
+
+        @jax.jit
+        def chunk(params, opt_state, key):
+            def it(carry, k):
+                params, opt_state = carry
+                k1, k2 = jax.random.split(k)
+                recs, last_value, ep_rewards = rollout.__wrapped__(params, k1)
+                params, opt_state, loss = update.__wrapped__(
+                    params, opt_state, recs, last_value, k2)
+                return (params, opt_state), (jnp.mean(ep_rewards), loss)
+
+            keys = jax.random.split(key, iters)
+            (params, opt_state), (rews, losses) = jax.lax.scan(
+                it, (params, opt_state), keys)
+            return params, opt_state, rews, losses
+
+        return chunk
+
+    def train_on_device(self, total_timesteps: int,
+                        iters_per_dispatch: int = 8) -> dict:
+        """Like :meth:`train` but with ``iters_per_dispatch`` iterations
+        fused into each compiled program (see _build_train_chunk).  Returns
+        the train() schema plus wall-clock and backend for the shipped
+        benchmark artifact."""
+        import time
+        T = self.env.max_bounces + 2
+        steps_per_iter = T * self.cfg.batch_envs
+        iters = max(1, total_timesteps // steps_per_iter)
+        n_chunks = max(1, -(-iters // iters_per_dispatch))
+        if self._train_chunk is None:
+            self._train_chunk = self._build_train_chunk(iters_per_dispatch)
+        t0 = time.perf_counter()
+        losses = []
+        for _ in range(n_chunks):
+            self._key, k = jax.random.split(self._key)
+            self.params, self.opt_state, rews, ls = self._train_chunk(
+                self.params, self.opt_state, k)
+            self.episode_rewards.extend(np.asarray(rews).tolist())
+            losses.extend(np.asarray(ls).tolist())
+        jax.block_until_ready(self.params)
+        wall = time.perf_counter() - t0
+        return {"iterations": n_chunks * iters_per_dispatch,
+                "timesteps": n_chunks * iters_per_dispatch * steps_per_iter,
+                "final_loss": losses[-1],
+                "mean_episode_reward": float(np.mean(
+                    self.episode_rewards[-iters_per_dispatch:])),
+                "wall_seconds": wall,
+                "dispatches": n_chunks,
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0])}
+
     def train(self, total_timesteps: int, log_every: int = 10) -> dict:
         T = self.env.max_bounces + 2
         steps_per_iter = T * self.cfg.batch_envs
@@ -217,15 +281,42 @@ class PPOTrainer:
         return np.asarray(a[0] if a.shape[0] == 1 else a)
 
     def save(self, path):
+        """``.npz`` → flat numpy archive (pickle-free shipped-checkpoint
+        format, same scheme as SACTrainer.save); anything else → pickle."""
         from pathlib import Path
-        import pickle
         Path(path).parent.mkdir(parents=True, exist_ok=True)
+        if str(path).endswith(".npz"):
+            import json as _json
+            flat = {}
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(
+                    self.params)[0]:
+                key = "params" + "".join("/" + str(k.key) for k in kp)
+                flat[key] = np.asarray(leaf)
+            flat["__config__"] = np.frombuffer(
+                _json.dumps(dataclasses.asdict(self.cfg)).encode(), np.uint8)
+            np.savez(path, **flat)
+            return
+        import pickle
         with open(path, "wb") as f:
             pickle.dump({"params": jax.tree_util.tree_map(np.asarray,
                                                           self.params),
                          "config": dataclasses.asdict(self.cfg)}, f)
 
     def load(self, path):
+        if str(path).endswith(".npz"):
+            with np.load(path) as z:
+                tree: dict = {}
+                for key in z.files:
+                    if key == "__config__":
+                        continue
+                    _, _, rest = key.partition("/")
+                    node = tree
+                    parts = rest.split("/")
+                    for p in parts[:-1]:
+                        node = node.setdefault(p, {})
+                    node[parts[-1]] = jnp.asarray(z[key])
+                self.params = tree
+            return
         import pickle
         with open(path, "rb") as f:
             ck = pickle.load(f)

@@ -451,11 +451,13 @@ def cmd_interactive(args, input_fn=input):
 
 def cmd_rl_pipeline(args):
     """The full pipeline of RL/ray_tracer_rl_complete.py: train → evaluate →
-    benchmark RL vs random."""
+    benchmark RL vs random.  ``--algo ppo`` trains fully on-device
+    (PPOTrainer.train_on_device: rollout scan + update fused per dispatch
+    chunk — the TPU-native training loop); SAC keeps its host replay
+    buffer, the reference-faithful off-policy configuration."""
     if getattr(args, "cpu", False):
         import jax
         jax.config.update("jax_platforms", "cpu")
-    from .agents.sac import SACConfig, SACTrainer
     from .compare.workbench import compare_rl_vs_random, evaluate_policy
     from .env.raytracer_env import RayTracerEnv
     from .env.scenes import training_scene_complete
@@ -464,13 +466,22 @@ def cmd_rl_pipeline(args):
     env = RayTracerEnv(scene, image_width=400, image_height=300, fov=75,
                        max_bounces=8, global_lights=gl, point_lights=pl,
                        variant="rl")
-    tr = SACTrainer(env, SACConfig(learning_starts=min(1000,
-                                                       args.timesteps // 4),
-                                   tensorboard_log=getattr(
-                                       args, "tensorboard_log", None)),
-                    seed=args.seed)
-    print("training...")
-    print(json.dumps(tr.train(args.timesteps)))
+    algo = getattr(args, "algo", "sac")
+    if algo == "ppo":
+        from .agents.ppo import PPOConfig, PPOTrainer
+        tr = PPOTrainer(env, PPOConfig(tensorboard_log=getattr(
+            args, "tensorboard_log", None)), seed=args.seed)
+        print("training (on-device PPO)...")
+        print(json.dumps(tr.train_on_device(args.timesteps)))
+    else:
+        from .agents.sac import SACConfig, SACTrainer
+        tr = SACTrainer(env, SACConfig(learning_starts=min(1000,
+                                                           args.timesteps // 4),
+                                       tensorboard_log=getattr(
+                                           args, "tensorboard_log", None)),
+                        seed=args.seed)
+        print("training...")
+        print(json.dumps(tr.train(args.timesteps)))
     tr.save(args.out)
     print("evaluating...")
     policy = lambda obs: tr.predict(obs, deterministic=True)
@@ -607,6 +618,9 @@ def main(argv=None):
     it.set_defaults(fn=cmd_interactive)
 
     rp = sub.add_parser("rl-pipeline")
+    rp.add_argument("--algo", default="sac", choices=["sac", "ppo"],
+                    help="ppo trains fully on-device (fused rollout+update "
+                         "chunks); sac keeps the host replay buffer")
     rp.add_argument("--timesteps", type=int, default=20_000)
     rp.add_argument("--seed", type=int, default=0)
     rp.add_argument("--out", default="raytracer_final.pkl")

@@ -62,12 +62,26 @@ def check_model_exists(name: str, base: str = ".") -> Optional[Path]:
 def evaluate_policy(env: RayTracerEnv, policy: Optional[Callable], *,
                     episodes: int = 50, seed: int = 0) -> dict:
     """Batched N-episode evaluation (:77-237): rewards, light hits,
-    termination reasons, best/worst episode indices."""
+    termination reasons, best/worst episode indices.
+
+    Light hits are counted EXACTLY by sphere identity — a step whose ray
+    lands on an emissive sphere (RL variant) or on the sun sphere
+    (FB variant, ``env.sun_id``) — the way the reference histograms object
+    ids (RL/train_raytracer_improved.py:113-205), not by a reward-threshold
+    proxy (which conflates "brightly lit step" with "hit a light")."""
     key = jax.random.key(seed)
     key, kr = jax.random.split(key)
     state, obs = env.reset(kr, batch=episodes)
+    em = np.asarray(env.scene.emitive) > 0
+    ids = np.asarray(env.scene.id)
+
+    def on_light(st, active):
+        idx = np.asarray(st.idx)
+        hit = np.asarray(st.hit)
+        landed = (ids[idx] == env.sun_id) if env.variant == "fb" else em[idx]
+        return landed & hit & active
+
     light_hit = np.zeros(episodes, bool)
-    bounce_hist = []
     for _ in range(env.max_bounces + 2):
         key, ka = jax.random.split(key)
         if policy is not None:
@@ -83,8 +97,7 @@ def evaluate_policy(env: RayTracerEnv, policy: Optional[Callable], *,
                                        minval=-1, maxval=1)
         prev_done = np.asarray(state.done)
         state, obs, r, term, info = env.step(state, a)
-        hit_now = (np.asarray(r) >= 2.0) & ~prev_done   # sun/light bonus step
-        light_hit |= hit_now
+        light_hit |= on_light(state, ~prev_done)
         if bool(np.asarray(state.done).all()):
             break
     rewards = np.asarray(state.total_reward)

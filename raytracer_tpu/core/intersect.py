@@ -120,9 +120,16 @@ def nearest_hit(o: jnp.ndarray, d: jnp.ndarray, scene: Scene,
 
 
 def nearest_hit_c(ox, oy, oz, dx, dy, dz, scene: Scene, suppress_id,
-                  by_abs: bool = False) -> NearestHitC:
+                  by_abs: bool = False, fast: bool = False) -> NearestHitC:
     """Component form of :func:`nearest_hit` (same math, same op order per
-    lane; the point/normal assembly is per-component instead of stacked)."""
+    lane; the point/normal assembly is per-component instead of stacked).
+
+    ``fast``: replace the ``sqrt(d2) <= r`` hit test with the equivalent
+    ``d2 <= r*r`` (one sqrt per sphere instead of two — the sweep is the
+    hot loop of every tracer).  Equal in exact arithmetic; in floating
+    point a graze hit within 1 ulp of the silhouette can flip, so the
+    exact form stays the default for the reference-parity goldens (the
+    Pallas backend already uses the squared form, equality-tested)."""
     dtype = ox.dtype
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     best_m = jnp.full(ox.shape, big, dtype)
@@ -138,10 +145,13 @@ def nearest_hit_c(ox, oy, oz, dx, dy, dz, scene: Scene, suppress_id,
         lx, ly, lz = cx - ox, cy - oy, cz - oz            # L = centre - o
         tca = lx * dx + ly * dy + lz * dz
         d2 = jnp.maximum(lx * lx + ly * ly + lz * lz - tca * tca, 0.0)
-        dist = jnp.sqrt(d2)
         thc = jnp.sqrt(jnp.maximum(r * r - d2, 0.0))
         t = tca - thc
-        valid = (tca >= 0.0) & (dist <= r) & (scene.id[s] != suppress_id)
+        if fast:
+            inside = d2 <= r * r
+        else:
+            inside = jnp.sqrt(d2) <= r
+        valid = (tca >= 0.0) & inside & (scene.id[s] != suppress_id)
         m = jnp.abs(t) if by_abs else t
         better = valid & (m < best_m)
         best_m = jnp.where(better, m, best_m)

@@ -330,6 +330,9 @@ class MultiSceneFBTrainer:
                 tb.add_scalar("train/scene_hit_rate", hit_rate * 100.0, step)
                 tb.add_scalar("train/noise_scale",
                               float(self.agent.noise_scale), step)
+            if hasattr(self.agent, "note_scene_performance"):
+                self.agent.note_scene_performance(stype.split("_")[0],
+                                                  hit_rate)
             self.all_performances.append({
                 "scene": name, "scene_type": stype.split("_")[0],
                 "hit_rate": hit_rate * 100.0,
@@ -342,6 +345,8 @@ class MultiSceneFBTrainer:
                 pr["scene"] = probe_name
                 pr["after_scene"] = i + 1
                 self.probe_history.append(pr)
+                if hasattr(self.agent, "note_generalization"):
+                    self.agent.note_generalization(pr["improvement"])
                 if tb is not None:
                     tb.add_scalar("train/render_probe_improvement",
                                   pr["improvement"],
@@ -461,6 +466,8 @@ class MultiSceneFBTrainer:
         a, s, r = probe(jnp.where(mask, -jnp.inf, 0.0))
         a_c, s_c, r_c = probe(jnp.where(
             mask, -jnp.inf, -jnp.log1p(scene.radius)))
+        if hasattr(self.agent, "note_generalization") and r_c > 0:
+            self.agent.note_generalization(a_c / r_c)
         return {
             "num_tests": num_tests,
             "agent_hit_rate": a,

@@ -176,24 +176,26 @@ def _render_path_frames(scene: Scene, key, eyes, targets, *, height, width,
     # Big-net guide params ride as jit arguments
     # (trace/path.call_with_split_guide) — closed-over weights inlined
     # into this frame-batched program would SIGILL the TPU compiler.
-    from ..trace.path import call_with_split_guide, emissive_indices
+    from ..trace.path import (call_with_split_guide, emissive_indices,
+                              no_diffuse_possible)
     return call_with_split_guide(
         _render_path_frames_jit, guide_fn, scene, key, eyes, targets,
         height=height, width=width, spp=spp, max_bounces=max_bounces,
         fov=fov, mirror_threshold=mirror_threshold, background=background,
         fb_prob=fb_prob, collect_stats=collect_stats,
-        emissive_idx=emissive_indices(scene))
+        emissive_idx=emissive_indices(scene),
+        no_diffuse=no_diffuse_possible(scene, mirror_threshold))
 
 
 @partial(jax.jit, static_argnames=("height", "width", "spp", "max_bounces",
                                    "fov", "mirror_threshold", "guide_fn",
                                    "g_apply", "g_dtype", "collect_stats",
-                                   "emissive_idx"))
+                                   "emissive_idx", "no_diffuse"))
 def _render_path_frames_jit(scene: Scene, key, eyes, targets, *, g_params,
                             height, width, spp, max_bounces, fov,
                             mirror_threshold, background, guide_fn, g_apply,
                             g_dtype, fb_prob, collect_stats,
-                            emissive_idx=None):
+                            emissive_idx=None, no_diffuse=False):
     from ..trace.path import _trace_path_fused_impl
     from .path_renderer import _assemble
 
@@ -209,7 +211,7 @@ def _render_path_frames_jit(scene: Scene, key, eyes, targets, *, g_params,
             max_bounces=max_bounces, mirror_threshold=mirror_threshold,
             background=background, guide_fn=guide_fn, g_apply=g_apply,
             g_dtype=g_dtype, fb_prob=fb_prob, collect_stats=collect_stats,
-            emissive_idx=emissive_idx)
+            emissive_idx=emissive_idx, no_diffuse=no_diffuse)
         return _assemble(rgb, spp=spp, height=height, width=width), stats
 
     keys = jax.random.split(key, eyes.shape[0])

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..scene.types import Scene
 from ..trace.path import (PathStats, _trace_path_fused_impl,
                           call_with_split_guide, emissive_indices,
-                          trace_path)
+                          no_diffuse_possible, trace_path)
 from .camera import perspective_rays
 
 
@@ -49,7 +49,7 @@ def _assemble(rgb, *, spp, height, width):
 
 def _render_path_fused(scene, key, *, width, height, spp, max_bounces, fov,
                        camera_position, mirror_threshold, background,
-                       guide_fn, fb_prob, collect_stats):
+                       guide_fn, fb_prob, collect_stats, fast=False):
     # Big-net guides' params ride as jit arguments, not closed-over
     # constants (trace/path.call_with_split_guide — inlined weights SIGILL
     # the TPU compiler); this outer jit boundary must route them too.
@@ -58,18 +58,19 @@ def _render_path_fused(scene, key, *, width, height, spp, max_bounces, fov,
         height=height, spp=spp, max_bounces=max_bounces, fov=fov,
         camera_position=camera_position, mirror_threshold=mirror_threshold,
         background=background, fb_prob=fb_prob, collect_stats=collect_stats,
-        emissive_idx=emissive_indices(scene))
+        emissive_idx=emissive_indices(scene),
+        no_diffuse=no_diffuse_possible(scene, mirror_threshold), fast=fast)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
                                    "mirror_threshold", "guide_fn", "g_apply",
                                    "g_dtype", "fov", "collect_stats",
-                                   "emissive_idx"))
+                                   "emissive_idx", "no_diffuse", "fast"))
 def _render_path_fused_jit(scene, key, *, g_params, width, height, spp,
                            max_bounces, fov, camera_position,
                            mirror_threshold, background, guide_fn, g_apply,
                            g_dtype, fb_prob, collect_stats,
-                           emissive_idx=None):
+                           emissive_idx=None, no_diffuse=False, fast=False):
     k_jit, k_trace = jax.random.split(key)
     origins, dirs = _camera_bundle(
         k_jit, width=width, height=height, spp=spp, fov=fov,
@@ -79,32 +80,36 @@ def _render_path_fused_jit(scene, key, *, g_params, width, height, spp,
         mirror_threshold=mirror_threshold, background=background,
         guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
         fb_prob=fb_prob, collect_stats=collect_stats,
-        emissive_idx=emissive_idx)
+        emissive_idx=emissive_idx, no_diffuse=no_diffuse, fast=fast)
     img = _assemble(rgb, spp=spp, height=height, width=width)
     return img, stats
 
 
 def _render_path_chunked(scene, key, *, width, height, spp_chunk, chunks,
                          max_bounces, fov, camera_position, mirror_threshold,
-                         background, guide_fn, fb_prob, collect_stats):
+                         background, guide_fn, fb_prob, collect_stats,
+                         fast=False):
     return call_with_split_guide(
         _render_path_chunked_jit, guide_fn, scene, key, width=width,
         height=height, spp_chunk=spp_chunk, chunks=chunks,
         max_bounces=max_bounces, fov=fov, camera_position=camera_position,
         mirror_threshold=mirror_threshold, background=background,
         fb_prob=fb_prob, collect_stats=collect_stats,
-        emissive_idx=emissive_indices(scene))
+        emissive_idx=emissive_indices(scene),
+        no_diffuse=no_diffuse_possible(scene, mirror_threshold), fast=fast)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp_chunk", "chunks",
                                    "max_bounces", "mirror_threshold",
                                    "guide_fn", "g_apply", "g_dtype", "fov",
-                                   "collect_stats", "emissive_idx"))
+                                   "collect_stats", "emissive_idx",
+                                   "no_diffuse", "fast"))
 def _render_path_chunked_jit(scene, key, *, g_params, width, height,
                              spp_chunk, chunks, max_bounces, fov,
                              camera_position, mirror_threshold, background,
                              guide_fn, g_apply, g_dtype, fb_prob,
-                             collect_stats, emissive_idx=None):
+                             collect_stats, emissive_idx=None,
+                             no_diffuse=False, fast=False):
     """High-spp render at bounded memory in ONE dispatch: ``lax.map`` over
     ``chunks`` independent ``spp_chunk``-sample sub-renders, accumulating
     integer sample sums, then ONE ``floor(total / spp_total)`` — exactly
@@ -123,7 +128,7 @@ def _render_path_chunked_jit(scene, key, *, g_params, width, height,
             max_bounces=max_bounces, mirror_threshold=mirror_threshold,
             background=background, guide_fn=guide_fn, g_apply=g_apply,
             g_dtype=g_dtype, fb_prob=fb_prob, collect_stats=collect_stats,
-            emissive_idx=emissive_idx)
+            emissive_idx=emissive_idx, no_diffuse=no_diffuse, fast=fast)
         return jnp.sum(rgb.reshape(spp_chunk, height, width, 3), axis=0), stats
 
     sums, stats = jax.lax.map(one, keys)
@@ -143,7 +148,8 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
                 collect_stats: bool = True,
                 impl: str = "fused",
                 spp_chunk: Optional[int] = None,
-                guide_max_level: Optional[int] = None):
+                guide_max_level: Optional[int] = None,
+                precision: str = "exact"):
     """Render ``[H, W, 3]`` unit-range image + PathStats.
 
     ``impl`` selects the trace implementation (see ``trace_path``);
@@ -159,6 +165,9 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
     reference's integer ``floor(sum/spp)`` over the full sample set.
     """
     cam = jnp.asarray(camera_position, jnp.float32)
+    if precision not in ("exact", "fast"):
+        raise ValueError(f"unknown precision {precision!r}")
+    fast = precision == "fast"
     if guide_max_level is not None and impl != "stepwise":
         raise ValueError("guide_max_level requires impl='stepwise' "
                          "(see trace_path)")
@@ -172,13 +181,14 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
             chunks=spp // spp_chunk, max_bounces=max_bounces, fov=fov,
             camera_position=cam, mirror_threshold=mirror_threshold,
             background=background, guide_fn=guide_fn, fb_prob=fb_prob,
-            collect_stats=collect_stats)
+            collect_stats=collect_stats, fast=fast)
     if impl == "fused":
         return _render_path_fused(
             scene, key, width=width, height=height, spp=spp,
             max_bounces=max_bounces, fov=fov, camera_position=cam,
             mirror_threshold=mirror_threshold, background=background,
-            guide_fn=guide_fn, fb_prob=fb_prob, collect_stats=collect_stats)
+            guide_fn=guide_fn, fb_prob=fb_prob, collect_stats=collect_stats,
+            fast=fast)
     k_jit, k_trace = jax.random.split(key)
     origins, dirs = _camera_bundle(
         k_jit, width=width, height=height, spp=spp, fov=fov,
@@ -188,6 +198,7 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
                             mirror_threshold=mirror_threshold,
                             background=background, guide_fn=guide_fn,
                             fb_prob=fb_prob, collect_stats=collect_stats,
-                            impl=impl, guide_max_level=guide_max_level)
+                            impl=impl, guide_max_level=guide_max_level,
+                            precision=precision)
     img = _assemble(rgb, spp=spp, height=height, width=width)
     return img, stats

@@ -75,7 +75,7 @@ class PathStats:
 
 
 def _direct_lighting_c(scene, px, py, pz, nx, ny, nz, idx, emissive_mask,
-                       dtype, emissive_idx=None):
+                       dtype, emissive_idx=None, fast: bool = False):
     """Per-level direct term (complex.py:333-348): Σ over emissive spheres
     of ``trunc(0.3·max(0,cosθ)/d² · colour)``, skipping the hit sphere —
     unrolled per sphere in scalar components AND per rgb channel (see
@@ -88,7 +88,13 @@ def _direct_lighting_c(scene, px, py, pz, nx, ny, nz, idx, emissive_mask,
     summation order among emissive spheres is unchanged.  On padded
     template scenes (64 slots, ≤8 lights) this removes ~90% of the
     direct-lighting sweep; callers derive it from a concrete scene the
-    same way renderer.material_flags specialises the refract walk."""
+    same way renderer.material_flags specialises the refract walk.
+
+    ``fast``: the per-light sqrt + 4 divides become one ``rsqrt`` + 3
+    muls: ``cosθ/d² = (L·n)·inv³`` with ``inv = rsqrt(|L|²)``.  Same
+    quantity to ~1 ulp; the trunc sites can flip only when ``w·col``
+    lands within rounding of an integer (rare; the precision="fast"
+    render path accepts this, goldens stay on exact)."""
     dr = jnp.zeros_like(px)
     dg = jnp.zeros_like(px)
     db = jnp.zeros_like(px)
@@ -98,10 +104,16 @@ def _direct_lighting_c(scene, px, py, pz, nx, ny, nz, idx, emissive_mask,
         cx, cy, cz = scene.centre[s, 0], scene.centre[s, 1], scene.centre[s, 2]
         tx, ty, tz = cx - px, cy - py, cz - pz
         d2 = tx * tx + ty * ty + tz * tz
-        dist = jnp.sqrt(d2)
-        den = jnp.maximum(dist, 1e-20)              # normalise_safe semantics
-        cosang = (tx / den) * nx + (ty / den) * ny + (tz / den) * nz
-        w = jnp.maximum(cosang, 0.0) / jnp.maximum(dist * dist, 1e-30) * 0.3
+        if fast:
+            inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+            ldotn = tx * nx + ty * ny + tz * nz
+            w = jnp.maximum(ldotn * inv, 0.0) * (inv * inv) * 0.3
+        else:
+            dist = jnp.sqrt(d2)
+            den = jnp.maximum(dist, 1e-20)          # normalise_safe semantics
+            cosang = (tx / den) * nx + (ty / den) * ny + (tz / den) * nz
+            w = (jnp.maximum(cosang, 0.0)
+                 / jnp.maximum(dist * dist, 1e-30) * 0.3)
         w = jnp.where(emissive_mask[s] & (idx != s), w, 0.0)
         col = scene.colour[s].astype(dtype)
         dr = dr + jnp.trunc(w * col[0])
@@ -119,6 +131,26 @@ def emissive_indices(scene) -> Optional[tuple]:
         return tuple(int(i) for i in _np.nonzero(em)[0])
     except Exception:
         return None
+
+
+def no_diffuse_possible(scene, mirror_threshold: float) -> bool:
+    """Static: can a diffuse bounce ever fire on this CONCRETE scene at
+    this mirror threshold?  False when every real (radius > 0) sphere is
+    either emissive or mirrors (``reflective > mirror_threshold``) — then
+    the per-level cosine sampling, its threefry draws, and any guide
+    forward are computed-and-discarded work the tracer statically skips
+    (the chandelier traditional config, mirror_threshold=0.0, is exactly
+    this case: chandelier renderer's ``reflective > 0`` rule,
+    FB/fb_vs_traditional_chandelier.py:481).  Bit-exact: no random value
+    or guide action reaches the output when no lane can be diffuse."""
+    try:
+        import numpy as _np
+        real = _np.asarray(scene.radius) > 0
+        em = _np.asarray(scene.emitive) > 0
+        mirror = _np.asarray(scene.reflective) > mirror_threshold
+        return bool((em | mirror)[real].all())
+    except Exception:
+        return False
 
 
 def make_observation(point, normal, ray_dir, bounce_count, colour, scene,
@@ -150,7 +182,8 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                fb_prob: float = 1.0,
                collect_stats: bool = True,
                impl: str = "fused",
-               guide_max_level: Optional[int] = None):
+               guide_max_level: Optional[int] = None,
+               precision: str = "exact"):
     """Trace ``[R]`` sample rays to integer sample colours ``[R, 3]``.
 
     ``guide_fn(obs[R,22]) -> action[R,2]`` enables the FB branch; actions are
@@ -170,11 +203,20 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
     agent, whose per-level forward dominates the frame: most of the
     measured hit-rate improvement comes from the early bounces, so
     K=2-3 of 8 keeps most of the signal at a fraction of the policy
-    cost.  Stepwise-impl only (the guided deployment path)."""
+    cost.  Stepwise-impl only (the guided deployment path).
+
+    ``precision="fast"`` swaps the exact-reference sweep math for the
+    cheaper equivalents (squared-radius hit test, rsqrt direct lighting —
+    see nearest_hit_c / _direct_lighting_c): same image up to rare 1-ulp
+    integer flips at the trunc sites; the production-serving mode.
+    "exact" (default) is the reference-parity mode the goldens pin."""
     if max_bounces < 1:
         raise ValueError(f"max_bounces must be >= 1, got {max_bounces} "
                          "(the reference's renderers always trace at least "
                          "the camera level)")
+    if precision not in ("exact", "fast"):
+        raise ValueError(f"unknown precision {precision!r}")
+    fast = precision == "fast"
     if impl in ("stepwise", "stepwise-pallas"):
         return _trace_path_stepwise(scene, origins, dirs, key,
                                     max_bounces=max_bounces,
@@ -183,14 +225,16 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                                     fb_prob=fb_prob,
                                     collect_stats=collect_stats,
                                     use_pallas=(impl == "stepwise-pallas"),
-                                    guide_max_level=guide_max_level)
+                                    guide_max_level=guide_max_level,
+                                    fast=fast)
     if guide_max_level is not None:
         raise ValueError("guide_max_level requires impl='stepwise'")
     return _trace_path_fused(scene, origins, dirs, key,
                              max_bounces=max_bounces,
                              mirror_threshold=mirror_threshold,
                              background=background, guide_fn=guide_fn,
-                             fb_prob=fb_prob, collect_stats=collect_stats)
+                             fb_prob=fb_prob, collect_stats=collect_stats,
+                             fast=fast)
 
 
 def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
@@ -199,7 +243,8 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                       background=(2.0, 2.0, 5.0),
                       guide_fn: Optional[Callable] = None,
                       fb_prob: float = 1.0,
-                      collect_stats: bool = True):
+                      collect_stats: bool = True,
+                      fast: bool = False):
     """Fused-tracer entry: routes big-net guides' params around the jit.
 
     A guide carrying ``_fused_spec`` with a custom apply (the full
@@ -214,7 +259,8 @@ def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
         _trace_path_fused_impl, guide_fn, scene, origins, dirs, key,
         max_bounces=max_bounces, mirror_threshold=mirror_threshold,
         background=background, fb_prob=fb_prob, collect_stats=collect_stats,
-        emissive_idx=emissive_indices(scene))
+        emissive_idx=emissive_indices(scene),
+        no_diffuse=no_diffuse_possible(scene, mirror_threshold), fast=fast)
 
 
 def split_guide(guide_fn):
@@ -244,7 +290,8 @@ def call_with_split_guide(jit_fn, guide_fn, *args, **kw):
 
 @partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
                                    "guide_fn", "g_apply", "g_dtype",
-                                   "collect_stats", "emissive_idx"))
+                                   "collect_stats", "emissive_idx",
+                                   "no_diffuse", "fast"))
 def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
                            dirs: jnp.ndarray, key: jax.Array,
                            g_params, *, max_bounces: int = 3,
@@ -254,7 +301,9 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
                            g_apply=None, g_dtype=None,
                            fb_prob: float = 1.0,
                            collect_stats: bool = True,
-                           emissive_idx: Optional[tuple] = None):
+                           emissive_idx: Optional[tuple] = None,
+                           no_diffuse: bool = False,
+                           fast: bool = False):
     dtype = origins.dtype
     R = origins.shape[0]
     bg = jnp.asarray(background, dtype)
@@ -273,7 +322,7 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
         k, subkey = inputs
 
         hit = nearest_hit_c(ox, oy, oz, dx, dy, dz, scene, no_sup,
-                            by_abs=True)
+                            by_abs=True, fast=fast)
         found = running & hit.found
 
         emis = found & take_small(emissive_mask, hit.idx)
@@ -289,31 +338,41 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
         dr, dg, db = _direct_lighting_c(scene, hit.px, hit.py, hit.pz,
                                         hit.nx, hit.ny, hit.nz, hit.idx,
                                         emissive_mask, dtype,
-                                        emissive_idx=emissive_idx)
+                                        emissive_idx=emissive_idx, fast=fast)
 
-        # Bounce direction.
-        k_diff, k_fb = jax.random.split(subkey)
+        # Bounce direction.  With no_diffuse (static: every real sphere is
+        # emissive or mirrors at this threshold — no_diffuse_possible) the
+        # cosine/guide machinery can never influence a lane: skip the RNG
+        # draws, the trig, and any policy forward; mirror reflect is the
+        # only continuing direction.  Bit-exact where it applies.
         rlx, rly, rlz = vec.reflect_c(dx, dy, dz, hit.nx, hit.ny, hit.nz)
-        dfx, dfy, dfz = sampling.cosine_weighted_c(k_diff, hit.nx, hit.ny,
-                                                   hit.nz, "renderer")
-        if guide_fn is not None or g_apply is not None:
-            use_fb = diffuse & (jax.random.uniform(k_fb, (R,), dtype) < fb_prob)
-            obs = make_observation(
-                jnp.stack([hit.px, hit.py, hit.pz], -1),
-                jnp.stack([hit.nx, hit.ny, hit.nz], -1),
-                jnp.stack([dx, dy, dz], -1),
-                jnp.full((R,), k, dtype),
-                jnp.zeros((R, 3), dtype), scene, hit.idx, max_bounces)
-            raw = (g_apply(g_params, obs, g_dtype) if g_apply is not None
-                   else guide_fn(obs))
-            action = jnp.clip(raw, -1.0, 1.0)
-            fbx, fby, fbz = sampling.fb_action_to_direction_c(
-                action, hit.nx, hit.ny, hit.nz, "renderer")
-            dfx = jnp.where(use_fb, fbx, dfx)
-            dfy = jnp.where(use_fb, fby, dfy)
-            dfz = jnp.where(use_fb, fbz, dfz)
-        else:
+        if no_diffuse:
+            dfx, dfy, dfz = rlx, rly, rlz
             use_fb = jnp.zeros((R,), bool)
+        else:
+            k_diff, k_fb = jax.random.split(subkey)
+            dfx, dfy, dfz = sampling.cosine_weighted_c(k_diff, hit.nx,
+                                                       hit.ny, hit.nz,
+                                                       "renderer")
+            if guide_fn is not None or g_apply is not None:
+                use_fb = diffuse & (jax.random.uniform(k_fb, (R,), dtype)
+                                    < fb_prob)
+                obs = make_observation(
+                    jnp.stack([hit.px, hit.py, hit.pz], -1),
+                    jnp.stack([hit.nx, hit.ny, hit.nz], -1),
+                    jnp.stack([dx, dy, dz], -1),
+                    jnp.full((R,), k, dtype),
+                    jnp.zeros((R, 3), dtype), scene, hit.idx, max_bounces)
+                raw = (g_apply(g_params, obs, g_dtype) if g_apply is not None
+                       else guide_fn(obs))
+                action = jnp.clip(raw, -1.0, 1.0)
+                fbx, fby, fbz = sampling.fb_action_to_direction_c(
+                    action, hit.nx, hit.ny, hit.nz, "renderer")
+                dfx = jnp.where(use_fb, fbx, dfx)
+                dfy = jnp.where(use_fb, fby, dfy)
+                dfz = jnp.where(use_fb, fbz, dfz)
+            else:
+                use_fb = jnp.zeros((R,), bool)
 
         nox = hit.px + hit.nx * 0.001                    # offset origin
         noy = hit.py + hit.ny * 0.001
@@ -409,11 +468,13 @@ def _trace_path_fused_impl(scene: Scene, origins: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
-                                   "use_pallas", "want_obs", "emissive_idx"))
+                                   "use_pallas", "want_obs", "emissive_idx",
+                                   "no_diffuse", "fast"))
 def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
                   max_bounces: int, mirror_threshold: float,
                   use_pallas: bool = False, want_obs: bool = True,
-                  emissive_idx: Optional[tuple] = None):
+                  emissive_idx: Optional[tuple] = None,
+                  no_diffuse: bool = False, fast: bool = False):
     """One path-trace level.  Internals run on [R]-shaped components (see
     nearest_hit's layout note); o/d/normal cross the program boundary as
     [R, 3] (one stack each — the boundary arrays are few and cheap next to
@@ -437,7 +498,7 @@ def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
                           ny=h.normal[:, 1], nz=h.normal[:, 2])
     else:
         hit = nearest_hit_c(ox, oy, oz, dx, dy, dz, scene, no_sup,
-                            by_abs=True)
+                            by_abs=True, fast=fast)
     found = running & hit.found
     emis = found & take_small(emissive_mask, hit.idx)
     mirror = found & ~emis & take_small(is_mirror, hit.idx)
@@ -447,13 +508,19 @@ def _level_kernel(scene: Scene, o, d, running, subkey, lvl, *,
     dr, dg, db = _direct_lighting_c(scene, hit.px, hit.py, hit.pz,
                                     hit.nx, hit.ny, hit.nz, hit.idx,
                                     emissive_mask, dtype,
-                                    emissive_idx=emissive_idx)
+                                    emissive_idx=emissive_idx, fast=fast)
 
-    k_diff, k_fb = jax.random.split(subkey)
     rlx, rly, rlz = vec.reflect_c(dx, dy, dz, hit.nx, hit.ny, hit.nz)
-    dfx, dfy, dfz = sampling.cosine_weighted_c(k_diff, hit.nx, hit.ny,
-                                               hit.nz, "renderer")
-    fb_u = jax.random.uniform(k_fb, (R,), dtype)
+    if no_diffuse:
+        # Static: no lane can be diffuse (no_diffuse_possible) — skip the
+        # cosine draw and the fb gate entirely, bit-exact.
+        dfx, dfy, dfz = rlx, rly, rlz
+        fb_u = jnp.ones((R,), dtype)            # gate never passes
+    else:
+        k_diff, k_fb = jax.random.split(subkey)
+        dfx, dfy, dfz = sampling.cosine_weighted_c(k_diff, hit.nx, hit.ny,
+                                                   hit.nz, "renderer")
+        fb_u = jax.random.uniform(k_fb, (R,), dtype)
 
     normal = jnp.stack([hit.nx, hit.ny, hit.nz], -1)
     if want_obs:
@@ -509,12 +576,14 @@ def _student_forward(params, obs, dtype):
 
 @partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
                                    "use_pallas", "guide_dtype",
-                                   "guide_apply", "emissive_idx"))
+                                   "guide_apply", "emissive_idx",
+                                   "no_diffuse", "fast"))
 def _level_kernel_guided(scene: Scene, o, d, running, subkey, lvl,
                          guide_params, fb_prob, *, max_bounces: int,
                          mirror_threshold: float, use_pallas: bool = False,
                          guide_dtype=jnp.bfloat16, guide_apply=None,
-                         emissive_idx: Optional[tuple] = None):
+                         emissive_idx: Optional[tuple] = None,
+                         no_diffuse: bool = False, fast: bool = False):
     """One level with the guide network FUSED into the program: obs build
     → policy forward → action → bounce direction all in one dispatch (the
     separate-program guide costs 2 extra host→device dispatches per level,
@@ -531,7 +600,13 @@ def _level_kernel_guided(scene: Scene, o, d, running, subkey, lvl,
      normal, stats) = _level_kernel(
         scene, o, d, running, subkey, lvl, max_bounces=max_bounces,
         mirror_threshold=mirror_threshold, use_pallas=use_pallas,
-        want_obs=True, emissive_idx=emissive_idx)
+        want_obs=not no_diffuse, emissive_idx=emissive_idx,
+        no_diffuse=no_diffuse, fast=fast)
+    if no_diffuse:
+        # Statically no diffuse lane → the guide can never fire; skip the
+        # policy forward entirely (bit-exact, see no_diffuse_possible).
+        return (o2, d2, running2, state, albedo, direct,
+                jnp.zeros(o.shape[:1], bool), stats)
     apply_fn = guide_apply if guide_apply is not None else _student_forward
     action = apply_fn(guide_params, obs, guide_dtype)
     use_fb = diffuse & (fb_u < fb_prob)
@@ -598,7 +673,8 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
                          max_bounces: int, mirror_threshold: float,
                          background, guide_fn, fb_prob: float,
                          collect_stats: bool, use_pallas: bool = False,
-                         guide_max_level: Optional[int] = None):
+                         guide_max_level: Optional[int] = None,
+                         fast: bool = False):
     dtype = origins.dtype
     R = origins.shape[0]
     bg = jnp.asarray(background, dtype)
@@ -607,6 +683,7 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
     running = jnp.ones((R,), bool)
     keys = jax.random.split(key, max_bounces)
     em_idx = emissive_indices(scene)
+    no_diff = no_diffuse_possible(scene, mirror_threshold)
     fused_spec = (getattr(guide_fn, "_fused_spec", None)
                   if guide_fn is not None else None)
     guide = (_jit_guide(guide_fn)
@@ -635,7 +712,8 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
              _normal, stats) = _level_kernel(
                 scene, o, d, running, keys[k], lvl,
                 max_bounces=max_bounces, mirror_threshold=mirror_threshold,
-                use_pallas=use_pallas, want_obs=False, emissive_idx=em_idx)
+                use_pallas=use_pallas, want_obs=False, emissive_idx=em_idx,
+                no_diffuse=no_diff, fast=fast)
             recs.append((state, albedo, direct))
             stats_dev.append(stats)
             continue
@@ -646,7 +724,8 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
                     fb_prob_arr, max_bounces=max_bounces,
                     mirror_threshold=mirror_threshold,
                     use_pallas=use_pallas, guide_dtype=g_dtype,
-                    guide_apply=g_apply, emissive_idx=em_idx)
+                    guide_apply=g_apply, emissive_idx=em_idx,
+                    no_diffuse=no_diff, fast=fast)
             fb_masks.append(use_fb)
             recs.append((state, albedo, direct))
             stats_dev.append(stats)
@@ -656,7 +735,7 @@ def _trace_path_stepwise(scene: Scene, origins, dirs, key, *,
             scene, o, d, running, keys[k], lvl,
             max_bounces=max_bounces, mirror_threshold=mirror_threshold,
             use_pallas=use_pallas, want_obs=guide is not None,
-            emissive_idx=em_idx)
+            emissive_idx=em_idx, no_diffuse=no_diff, fast=fast)
         if guide is not None:
             use_fb = diffuse & (fb_u < fb_prob)
             action = guide(obs)

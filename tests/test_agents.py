@@ -67,6 +67,29 @@ def test_ppo_trains_and_improves():
                                    atol=1e-6)
 
 
+def test_ppo_train_on_device_and_npz():
+    """Fused on-device training (rollout+update chunks inside one jit) and
+    the pickle-free .npz checkpoint roundtrip."""
+    env = _env()
+    cfg = PPOConfig(batch_envs=32, epochs=1, minibatches=2)
+    tr = PPOTrainer(env, cfg, seed=0)
+    out = tr.train_on_device(total_timesteps=32 * 7 * 4,
+                             iters_per_dispatch=2)
+    assert out["dispatches"] == 2
+    assert out["iterations"] == 4
+    assert np.isfinite(out["final_loss"])
+    assert out["backend"] in ("cpu", "tpu")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ppo.npz")
+        tr.save(p)
+        tr2 = PPOTrainer(env, cfg, seed=5)
+        tr2.load(p)
+        np.testing.assert_allclose(tr2.predict(np.ones(18, np.float32)),
+                                   tr.predict(np.ones(18, np.float32)),
+                                   atol=1e-6)
+
+
 def test_sac_trains():
     env = _env()
     cfg = SACConfig(batch_envs=32, learning_starts=64, batch_size=64,

@@ -1,6 +1,6 @@
 """Batched env tests, including deterministic trajectory parity against the
-executed reference environment (generated fixture, see
-tests/golden/make_env_golden.py provenance note)."""
+executed reference environment (fixtures regenerable with
+``python scripts/gen_test_goldens.py env_rl|env_fb --check``)."""
 import json
 from pathlib import Path
 

@@ -1,6 +1,6 @@
 """Golden tests against frames produced by *executing* the reference
-implementation (scripts preserved in git history / verify skill; fixtures in
-tests/golden/):
+implementation (fixtures in tests/golden/, regenerable from the working
+tree with ``python scripts/gen_test_goldens.py all --check``):
 
 * ``true_original_61.npy`` — 61×61 grid of the RL/output5.py
   render_true_original scene traced with the reference's own

@@ -260,3 +260,43 @@ def test_guide_max_level_limits_policy_levels():
     rgb_b, _ = trace_path(scene, o, d, jax.random.key(0), **kw)
     np.testing.assert_array_equal(np.asarray(rgb_a), np.asarray(rgb_b))
     assert int(eq.fb_used) == int(full.fb_used)
+
+
+def test_fast_precision_matches_exact():
+    """precision="fast" (squared-radius hit test + rsqrt direct lighting)
+    must agree with the exact reference math on the chandelier frame:
+    identical images except for rare 1-ulp trunc-site flips, and identical
+    hit statistics.  Both impls route the flag."""
+    from raytracer_tpu.render.path_renderer import render_path
+    from raytracer_tpu.scene import library
+
+    scene, _, _, p = library.chandelier_scene()
+    kw = dict(width=64, height=32, spp=2, max_bounces=4,
+              camera_position=p["camera_position"], mirror_threshold=0.0)
+    img_e, st_e = render_path(scene, jax.random.key(3), **kw)
+    img_f, st_f = render_path(scene, jax.random.key(3), precision="fast",
+                              **kw)
+    e, f = np.asarray(img_e), np.asarray(img_f)
+    # Unit-range pixels: a trunc flip moves a channel by 1/255.
+    assert np.abs(e - f).max() <= (1.0 / 255.0) + 1e-6
+    assert (e != f).mean() < 0.02
+    assert int(st_e.total_rays) == int(st_f.total_rays)
+    assert abs(int(st_e.light_hits) - int(st_f.light_hits)) <= \
+        0.001 * int(st_e.total_rays) + 2
+    # Stepwise agrees with fused under fast too.
+    img_s, st_s = render_path(scene, jax.random.key(3), precision="fast",
+                              impl="stepwise", **kw)
+    np.testing.assert_array_equal(np.asarray(img_s), f)
+    assert int(st_s.light_hits) == int(st_f.light_hits)
+
+
+def test_no_diffuse_specialisation_is_exact():
+    """The all-mirror static specialisation (no_diffuse_possible) must not
+    change a single bit on the chandelier traditional config, with and
+    without a guide attached (the guide can never fire)."""
+    from raytracer_tpu.trace.path import no_diffuse_possible
+    from raytracer_tpu.scene import library
+
+    scene, _, _, p = library.chandelier_scene()
+    assert no_diffuse_possible(scene, 0.0)
+    assert not no_diffuse_possible(scene, 0.9)

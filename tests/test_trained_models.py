@@ -122,8 +122,10 @@ def test_shipped_sac_beats_random_on_light_hits_and_reward():
     """The RL track's shipped-checkpoint pin (VERDICT r2 item 7): the
     committed SAC policy (cli rl-pipeline --cpu --timesteps 60000 --seed 0)
     must keep beating the random-action baseline on the training env —
-    measured at ship time: light_hit_rate 0.418 vs 0.332, avg_reward 3.36
-    vs 1.59 (512 episodes, seed 0; models/sac_raytracer_benchmark.json).
+    measured at ship time with EXACT emissive-sphere hit counting
+    (VERDICT r3 item 4; the old reward>=2 proxy inflated random's rate):
+    light_hit_rate 0.322 vs 0.104, avg_reward 3.36 vs 1.59 (512 episodes,
+    seed 0; models/sac_raytracer_benchmark.json).
     showcase/rl_vs_traditional_comparison.png renders from THIS file."""
     from raytracer_tpu.agents.sac import SACConfig, SACTrainer
     from raytracer_tpu.compare.workbench import evaluate_policy
