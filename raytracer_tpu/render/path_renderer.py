@@ -19,8 +19,9 @@ import jax.numpy as jnp
 
 from ..scene.types import Scene
 from ..trace.path import (PathStats, _trace_path_fused_impl,
-                          call_with_split_guide, emissive_indices,
-                          no_diffuse_possible, trace_path)
+                          _trace_path_lean_impl, call_with_split_guide,
+                          emissive_indices, no_diffuse_possible, scene_spec,
+                          trace_path)
 from .camera import perspective_rays
 
 
@@ -81,6 +82,52 @@ def _render_path_fused_jit(scene, key, *, g_params, width, height, spp,
         guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
         fb_prob=fb_prob, collect_stats=collect_stats,
         emissive_idx=emissive_idx, no_diffuse=no_diffuse, fast=fast)
+    img = _assemble(rgb, spp=spp, height=height, width=width)
+    return img, stats
+
+
+def _render_path_lean(scene, key, *, width, height, spp, max_bounces, fov,
+                      camera_position, mirror_threshold, background,
+                      guide_fn, fb_prob, collect_stats, fast=False,
+                      block_rays=245760):
+    spec = scene_spec(scene)
+    return call_with_split_guide(
+        _render_path_lean_jit, guide_fn,
+        None if spec is not None else scene, key, width=width,
+        height=height, spp=spp, max_bounces=max_bounces, fov=fov,
+        camera_position=camera_position, mirror_threshold=mirror_threshold,
+        background=background, fb_prob=fb_prob, collect_stats=collect_stats,
+        emissive_idx=emissive_indices(scene),
+        no_diffuse=no_diffuse_possible(scene, mirror_threshold), fast=fast,
+        block_rays=block_rays, spec=spec)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
+                                   "mirror_threshold", "guide_fn", "g_apply",
+                                   "g_dtype", "fov", "collect_stats",
+                                   "emissive_idx", "no_diffuse", "fast",
+                                   "block_rays", "spec"))
+def _render_path_lean_jit(scene, key, *, g_params, width, height, spp,
+                          max_bounces, fov, camera_position,
+                          mirror_threshold, background, guide_fn, g_apply,
+                          g_dtype, fb_prob, collect_stats,
+                          emissive_idx=None, no_diffuse=False, fast=False,
+                          block_rays=245760, spec=None):
+    """One dispatch: camera bundle → lean block tracer → assembly.  Output
+    is bit-identical to the fused renderer (same draws, same op order —
+    see trace/path.py's lean section); the internals are restructured to
+    the measured TPU cost profile."""
+    k_jit, k_trace = jax.random.split(key)
+    origins, dirs = _camera_bundle(
+        k_jit, width=width, height=height, spp=spp, fov=fov,
+        camera_position=camera_position)
+    rgb, stats = _trace_path_lean_impl(
+        scene, origins, dirs, k_trace, g_params, max_bounces=max_bounces,
+        mirror_threshold=mirror_threshold, background=background,
+        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
+        fb_prob=fb_prob, collect_stats=collect_stats,
+        emissive_idx=emissive_idx, no_diffuse=no_diffuse, fast=fast,
+        block_rays=block_rays, spec=spec)
     img = _assemble(rgb, spp=spp, height=height, width=width)
     return img, stats
 
@@ -153,7 +200,11 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
     """Render ``[H, W, 3]`` unit-range image + PathStats.
 
     ``impl`` selects the trace implementation (see ``trace_path``);
-    "fused" is one fully-fused XLA program (fastest steady-state),
+    "fused" is one fully-fused XLA program, "lean" is the production
+    serving renderer — bit-identical output to "fused" (same draws, same
+    per-lane op order; asserted in tests/test_path.py) restructured to the
+    measured TPU cost profile (in-sweep attribute selection, unrolled
+    levels, inline fold, ~240k-ray blocking — scripts/profile_path4-6),
     "stepwise" keeps TPU compile time flat in max_bounces and compiles the
     guide network separately from the tracer.
 
@@ -171,6 +222,16 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
     if guide_max_level is not None and impl != "stepwise":
         raise ValueError("guide_max_level requires impl='stepwise' "
                          "(see trace_path)")
+    if impl == "lean":
+        if spp_chunk is not None:
+            raise ValueError("impl='lean' does its own wavefront blocking; "
+                             "spp_chunk applies to impl='fused'")
+        return _render_path_lean(
+            scene, key, width=width, height=height, spp=spp,
+            max_bounces=max_bounces, fov=fov, camera_position=cam,
+            mirror_threshold=mirror_threshold, background=background,
+            guide_fn=guide_fn, fb_prob=fb_prob, collect_stats=collect_stats,
+            fast=fast)
     if spp_chunk is not None and spp_chunk < spp:
         if impl != "fused":
             raise ValueError("spp_chunk requires impl='fused'")

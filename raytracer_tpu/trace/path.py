@@ -229,6 +229,15 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                                     fast=fast)
     if guide_max_level is not None:
         raise ValueError("guide_max_level requires impl='stepwise'")
+    if impl == "lean":
+        return _trace_path_lean(scene, origins, dirs, key,
+                                max_bounces=max_bounces,
+                                mirror_threshold=mirror_threshold,
+                                background=background, guide_fn=guide_fn,
+                                fb_prob=fb_prob, collect_stats=collect_stats,
+                                fast=fast)
+    if impl != "fused":
+        raise ValueError(f"unknown impl {impl!r}")
     return _trace_path_fused(scene, origins, dirs, key,
                              max_bounces=max_bounces,
                              mirror_threshold=mirror_threshold,
@@ -794,3 +803,376 @@ def _terminated_emissive(states):
     for st in states[1:]:
         out = out | (st == _EMISSIVE)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Lean implementation: the production-serving tracer.  Bit-identical output
+# to impl="fused" (same RNG draws, same op order per lane), restructured
+# around the measured TPU cost profile (scripts/profile_path4-6):
+#
+# * per-sphere attributes (albedo, emissive/small/mirror flags, the obs
+#   material props) are selected IN the nearest-hit sweep under the same
+#   `better` mask instead of post-hoc ``take_small`` chains — the i32
+#   ``idx == s`` select chains were ~23 ms of the 800×600 frame on their
+#   own while the sweep itself runs near the dispatch floor;
+# * the CONCRETE scene's sphere scalars are baked as compile-time
+#   literals (``scene_spec``) — measured 186 ms → 66 ms wall on the
+#   800×600 frame with identical images (scripts/profile_path6: traced
+#   scalar reads defeat constant folding across the whole sweep).  One
+#   compile per scene, amortised by the persistent compilation cache —
+#   the serving model (one scene, many frames).  Tracer-driven scenes
+#   fall back to traced reads automatically;
+# * levels are Python-unrolled and the reverse fold is inlined in the same
+#   program (no lax.scan level carries or [L, R] stacked records in HBM);
+# * the wavefront is processed in ``block_rays``-sized blocks via
+#   ``lax.map`` — the ~240k-ray live set schedules ~35% better than a
+#   full 3.84M-ray wavefront.
+#
+# RNG parity: the fused scan draws, per level, ``k_diff, k_fb =
+# split(keys[lvl])`` then ``uniform(k_diff, (R, 2))`` (inside
+# cosine_weighted_c) and ``uniform(k_fb, (R,))``.  The lean prologue makes
+# the *identical* draws for the full wavefront up front and hands each
+# block its slice, so every lane sees the same uniforms → the same sample
+# directions → the same image, bit for bit (asserted lean≡fused in
+# tests/test_path.py).
+# ---------------------------------------------------------------------------
+
+def scene_spec(scene) -> Optional[tuple]:
+    """Static per-sphere literal table from a CONCRETE scene, or None when
+    the scene is traced.  Row: ``(cx, cy, cz, r, colr, colg, colb, refl,
+    transp, emit, ior, id)`` as Python floats — exact f64 images of the f32
+    array values, so every op against them produces the identical f32
+    result (weak-typed constants; images asserted identical).  Radius-0
+    padding rows are kept: the fused sweep visits them too, and dropping
+    them could (measure-zero) flip a ``d2 == 0`` exact-graze hit."""
+    try:
+        import numpy as _np
+        c = _np.asarray(scene.centre)
+        r = _np.asarray(scene.radius)
+        col = _np.asarray(scene.colour)
+        rf = _np.asarray(scene.reflective)
+        tr = _np.asarray(scene.transparent)
+        em = _np.asarray(scene.emitive)
+        io = _np.asarray(scene.ior)
+        sid = _np.asarray(scene.id)
+    except Exception:
+        return None
+    return tuple(
+        (float(c[s, 0]), float(c[s, 1]), float(c[s, 2]), float(r[s]),
+         float(col[s, 0]), float(col[s, 1]), float(col[s, 2]),
+         float(rf[s]), float(tr[s]), float(em[s]), float(io[s]),
+         int(sid[s]))
+        for s in range(c.shape[0]))
+
+
+def _sphere_rows(scene, spec, dtype):
+    """Uniform per-sphere scalar access for the lean sweep: literal tuples
+    when ``spec`` is static, traced array reads otherwise (same op order
+    downstream either way; traced colour/material reads cast to ``dtype``
+    exactly as the fused impl's ``take_small(...).astype(dtype)``)."""
+    if spec is not None:
+        return list(spec)
+    n = scene.centre.shape[0]
+    return [(scene.centre[s, 0], scene.centre[s, 1], scene.centre[s, 2],
+             scene.radius[s],
+             scene.colour[s, 0].astype(dtype),
+             scene.colour[s, 1].astype(dtype),
+             scene.colour[s, 2].astype(dtype),
+             scene.reflective[s].astype(dtype),
+             scene.transparent[s].astype(dtype),
+             scene.emitive[s].astype(dtype),
+             scene.ior[s].astype(dtype),
+             scene.id[s].astype(dtype))
+            for s in range(n)]
+
+
+def _lean_sweep(ox, oy, oz, dx, dy, dz, rows, extra_vals, *, fast):
+    """Nearest-hit sweep with in-sweep attribute selection.
+
+    Math and op order are exactly ``nearest_hit_c(by_abs=True)`` with no
+    suppression (the path tracers never suppress — they use the 0.001
+    normal offset).  ``rows``: per-sphere scalar tuples (_sphere_rows);
+    ``extra_vals``: per-attribute lists of per-sphere scalars whose
+    hit-lane value is selected under the same ``better`` mask; entries for
+    lanes with no valid hit are zeros (callers only consume them under
+    ``found``, same as the fused impl's ``take_small`` values are only
+    consumed under ``found``).  Returns
+    ``(found, best_i, px, py, pz, nx, ny, nz, extras)``."""
+    dtype = ox.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    best_m = jnp.full(ox.shape, big, dtype)
+    best_t = jnp.full(ox.shape, big, dtype)
+    best_i = jnp.zeros(ox.shape, jnp.int32)
+    bcx = jnp.zeros(ox.shape, dtype)
+    bcy = jnp.zeros(ox.shape, dtype)
+    bcz = jnp.zeros(ox.shape, dtype)
+    extras = [jnp.zeros(ox.shape, bool) if vals_bool else
+              jnp.zeros(ox.shape, dtype)
+              for vals, vals_bool in extra_vals]
+    found = jnp.zeros(ox.shape, bool)
+    for s, row in enumerate(rows):
+        cx, cy, cz, r = row[0], row[1], row[2], row[3]
+        lx, ly, lz = cx - ox, cy - oy, cz - oz
+        tca = lx * dx + ly * dy + lz * dz
+        d2 = jnp.maximum(lx * lx + ly * ly + lz * lz - tca * tca, 0.0)
+        thc = jnp.sqrt(jnp.maximum(r * r - d2, 0.0))
+        t = tca - thc
+        inside = (d2 <= r * r) if fast else (jnp.sqrt(d2) <= r)
+        valid = (tca >= 0.0) & inside
+        m = jnp.abs(t)                                  # by_abs ordering
+        better = valid & (m < best_m)
+        best_m = jnp.where(better, m, best_m)
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, s, best_i)
+        bcx = jnp.where(better, cx, bcx)
+        bcy = jnp.where(better, cy, bcy)
+        bcz = jnp.where(better, cz, bcz)
+        extras = [jnp.where(better, vals[s], e)
+                  for (vals, _), e in zip(extra_vals, extras)]
+        found = found | valid
+    px = ox + dx * best_t
+    py = oy + dy * best_t
+    pz = oz + dz * best_t
+    nx, ny, nz = vec.normalise_safe_c(px - bcx, py - bcy, pz - bcz)
+    return found, best_i, px, py, pz, nx, ny, nz, extras
+
+
+def _direct_lighting_rows(rows, emissive_flags, px, py, pz, nx, ny, nz, idx,
+                          dtype, emissive_idx, fast):
+    """_direct_lighting_c on per-sphere scalar rows (literal or traced) —
+    identical math and summation order, so identical trunc-site integers.
+    ``emissive_flags[s]``: Python bool (static spec) or traced bool."""
+    dr = jnp.zeros_like(px)
+    dg = jnp.zeros_like(px)
+    db = jnp.zeros_like(px)
+    spheres = (range(len(rows)) if emissive_idx is None else emissive_idx)
+    for s in spheres:
+        cx, cy, cz = rows[s][0], rows[s][1], rows[s][2]
+        tx, ty, tz = cx - px, cy - py, cz - pz
+        d2 = tx * tx + ty * ty + tz * tz
+        if fast:
+            inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+            ldotn = tx * nx + ty * ny + tz * nz
+            w = jnp.maximum(ldotn * inv, 0.0) * (inv * inv) * 0.3
+        else:
+            dist = jnp.sqrt(d2)
+            den = jnp.maximum(dist, 1e-20)
+            cosang = (tx / den) * nx + (ty / den) * ny + (tz / den) * nz
+            w = (jnp.maximum(cosang, 0.0)
+                 / jnp.maximum(dist * dist, 1e-30) * 0.3)
+        w = jnp.where(emissive_flags[s] & (idx != s), w, 0.0)
+        dr = dr + jnp.trunc(w * rows[s][4])
+        dg = dg + jnp.trunc(w * rows[s][5])
+        db = db + jnp.trunc(w * rows[s][6])
+    return dr, dg, db
+
+
+def _trace_path_lean(scene, origins, dirs, key, *, max_bounces,
+                     mirror_threshold, background, guide_fn, fb_prob,
+                     collect_stats, fast, block_rays: int = 245760):
+    spec = scene_spec(scene)
+    return call_with_split_guide(
+        _trace_path_lean_impl, guide_fn,
+        None if spec is not None else scene, origins, dirs, key,
+        max_bounces=max_bounces, mirror_threshold=mirror_threshold,
+        background=background, fb_prob=fb_prob, collect_stats=collect_stats,
+        emissive_idx=emissive_indices(scene),
+        no_diffuse=no_diffuse_possible(scene, mirror_threshold), fast=fast,
+        block_rays=block_rays, spec=spec)
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
+                                   "guide_fn", "g_apply", "g_dtype",
+                                   "collect_stats", "emissive_idx",
+                                   "no_diffuse", "fast", "block_rays",
+                                   "spec"))
+def _trace_path_lean_impl(scene: Optional[Scene], origins, dirs, key,
+                          g_params, *,
+                          max_bounces: int, mirror_threshold: float,
+                          background=(2.0, 2.0, 5.0),
+                          guide_fn: Optional[Callable] = None,
+                          g_apply=None, g_dtype=None, fb_prob: float = 1.0,
+                          collect_stats: bool = True,
+                          emissive_idx: Optional[tuple] = None,
+                          no_diffuse: bool = False, fast: bool = False,
+                          block_rays: int = 245760,
+                          spec: Optional[tuple] = None):
+    dtype = origins.dtype
+    R = origins.shape[0]
+    bg = jnp.asarray(background, dtype)
+    d = vec.normalise_safe(dirs.astype(dtype))
+    guided = guide_fn is not None or g_apply is not None
+
+    # Static block layout: nblk blocks of RB rays, last one padded with
+    # inactive lanes (running=False → never counted, value left at bg,
+    # sliced off below).
+    nblk = max(1, -(-R // block_rays))
+    RB = -(-R // nblk)
+    pad = nblk * RB - R
+
+    def blocks(x, fill=0.0):
+        if pad:
+            width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, width, constant_values=fill)
+        return x.reshape((nblk, RB) + x.shape[1:])
+
+    # RNG prologue — the fused scan's exact draw schedule on the FULL
+    # wavefront (see the section comment), sliced per block.
+    keys = jax.random.split(key, max_bounces)
+    cos_u, fb_u = [], []
+    for lvl in range(max_bounces):
+        if no_diffuse:
+            cos_u.append(None)
+            fb_u.append(None)
+            continue
+        k_diff, k_fb = jax.random.split(keys[lvl])
+        cos_u.append(blocks(jax.random.uniform(k_diff, (R, 2), dtype)))
+        fb_u.append(blocks(jax.random.uniform(k_fb, (R,), dtype))
+                    if guided else None)
+
+    rows = _sphere_rows(scene, spec, dtype)
+    if spec is not None:
+        em_flags = [row[9] > 0 for row in spec]                # Python bools
+        sm_flags = [e and row[3] < 0.5 for e, row in zip(em_flags, spec)]
+        mr_flags = [row[7] > mirror_threshold for row in spec]
+    else:
+        em_flags = [scene.emitive[s] > 0 for s in range(len(rows))]
+        sm_flags = [em_flags[s] & (scene.radius[s] < 0.5)
+                    for s in range(len(rows))]
+        mr_flags = [scene.reflective[s] > mirror_threshold
+                    for s in range(len(rows))]
+    # (values, is_bool) per in-sweep-selected attribute.
+    extra_vals = [([row[4] for row in rows], False),
+                  ([row[5] for row in rows], False),
+                  ([row[6] for row in rows], False),
+                  (em_flags, True), (sm_flags, True), (mr_flags, True)]
+    if guided:
+        # The 22-D obs material segment (make_observation's take_small
+        # reads) selected in-sweep instead.
+        extra_vals += [([row[7] for row in rows], False),
+                       ([row[8] for row in rows], False),
+                       ([row[9] for row in rows], False),
+                       ([row[10] for row in rows], False),
+                       ([row[11] for row in rows], False)]
+
+    lane = jnp.arange(nblk * RB, dtype=jnp.int32).reshape(nblk, RB)
+    xs = (blocks(origins[:, 0]), blocks(origins[:, 1]), blocks(origins[:, 2]),
+          blocks(d[:, 0]), blocks(d[:, 1]), blocks(d[:, 2]),
+          lane < R,
+          tuple(u for u in cos_u if u is not None),
+          tuple(u for u in fb_u if u is not None))
+
+    def one(args):
+        ox, oy, oz, dx, dy, dz, running, cos_us, fb_us = args
+        levels = []          # (is_emis, is_cont, is_miss, ar, ag, ab,
+        #                       dr, dg, db) per level
+        lstats = []
+        fb_masks = []
+        for lvl in range(max_bounces):
+            found, idx, px, py, pz, nx, ny, nz, ex = _lean_sweep(
+                ox, oy, oz, dx, dy, dz, rows, extra_vals, fast=fast)
+            ar, ag, ab, em, sm, mr = ex[:6]
+            found = running & found
+            emis = found & em
+            mirror = found & ~emis & mr
+            diffuse = found & ~emis & ~mirror
+            cont = mirror | diffuse
+
+            dr, dg, db = _direct_lighting_rows(
+                rows, em_flags, px, py, pz, nx, ny, nz, idx, dtype,
+                emissive_idx, fast)
+
+            rlx, rly, rlz = vec.reflect_c(dx, dy, dz, nx, ny, nz)
+            if no_diffuse:
+                dfx, dfy, dfz = rlx, rly, rlz
+                use_fb = jnp.zeros(ox.shape, bool)
+            else:
+                u = cos_us[lvl]
+                theta = jnp.arccos(jnp.sqrt(u[..., 0]))
+                phi = 2.0 * jnp.pi * u[..., 1]
+                dfx, dfy, dfz = sampling.local_to_world_c(
+                    theta, phi, nx, ny, nz, "renderer")
+                if guided:
+                    use_fb = diffuse & (fb_us[lvl] < fb_prob)
+                    refl, transp, emitf, ior, sid = ex[6:]
+                    shp = ox.shape
+                    obs = jnp.concatenate([
+                        jnp.stack([px, py, pz], -1),
+                        jnp.stack([dx, dy, dz], -1),
+                        jnp.stack([nx, ny, nz], -1),
+                        refl[..., None], transp[..., None],
+                        emitf[..., None], ior[..., None],
+                        jnp.zeros(shp + (3,), dtype),
+                        jnp.full(shp + (1,), float(lvl), dtype) / max_bounces,
+                        jnp.zeros(shp + (1,), dtype),
+                        (sid / 100.0)[..., None],
+                        jnp.full(shp + (3,), 0.5, dtype),
+                    ], axis=-1)
+                    raw = (g_apply(g_params, obs, g_dtype)
+                           if g_apply is not None else guide_fn(obs))
+                    action = jnp.clip(raw, -1.0, 1.0)
+                    fbx, fby, fbz = sampling.fb_action_to_direction_c(
+                        action, nx, ny, nz, "renderer")
+                    dfx = jnp.where(use_fb, fbx, dfx)
+                    dfy = jnp.where(use_fb, fby, dfy)
+                    dfz = jnp.where(use_fb, fbz, dfz)
+                else:
+                    use_fb = jnp.zeros(ox.shape, bool)
+
+            ox = jnp.where(cont, px + nx * 0.001, ox)
+            oy = jnp.where(cont, py + ny * 0.001, oy)
+            oz = jnp.where(cont, pz + nz * 0.001, oz)
+            dx = jnp.where(cont, jnp.where(mirror, rlx, dfx), dx)
+            dy = jnp.where(cont, jnp.where(mirror, rly, dfy), dy)
+            dz = jnp.where(cont, jnp.where(mirror, rlz, dfz), dz)
+
+            is_miss = running & ~emis & ~cont
+            levels.append((emis, cont, is_miss, ar, ag, ab, dr, dg, db))
+            lstats.append((jnp.sum(running), jnp.sum(found), jnp.sum(emis),
+                           jnp.sum(found & sm), jnp.sum(use_fb)))
+            fb_masks.append(use_fb)
+            running = running & cont
+
+        # Inline reverse fold — same op order as the fused fold.
+        vr = jnp.full(ox.shape, bg[0], dtype)
+        vg = jnp.full(ox.shape, bg[1], dtype)
+        vb = jnp.full(ox.shape, bg[2], dtype)
+        for emis, cont, is_miss, ar, ag, ab, dr, dg, db in reversed(levels):
+            cr = jnp.trunc(ar * jnp.minimum(255.0, dr + vr) / 255.0)
+            cg = jnp.trunc(ag * jnp.minimum(255.0, dg + vg) / 255.0)
+            cb = jnp.trunc(ab * jnp.minimum(255.0, db + vb) / 255.0)
+            vr = jnp.where(cont, cr, vr)
+            vg = jnp.where(cont, cg, vg)
+            vb = jnp.where(cont, cb, vb)
+            vr = jnp.where(emis, ar, vr)
+            vg = jnp.where(emis, ag, vg)
+            vb = jnp.where(emis, ab, vb)
+            vr = jnp.where(is_miss, bg[0], vr)
+            vg = jnp.where(is_miss, bg[1], vg)
+            vb = jnp.where(is_miss, bg[2], vb)
+
+        term_emis = levels[0][0]
+        for lv in levels[1:]:
+            term_emis = term_emis | lv[0]
+        sums = [sum(s[i] for s in lstats) for i in range(5)]
+        fb_success = sum(jnp.sum(m & term_emis) for m in fb_masks)
+        st = jnp.stack([sums[0] + jnp.sum(running), sums[1], sums[2],
+                        sums[3], sums[4], fb_success])
+        return jnp.stack([vr, vg, vb], -1), st
+
+    if nblk == 1:
+        rgb, st = one(jax.tree.map(lambda x: x[0], xs))
+    else:
+        rgb, st = jax.lax.map(one, xs)
+        rgb = rgb.reshape(-1, 3)
+        st = jnp.sum(st, axis=0)
+    rgb = rgb[:R]
+
+    if collect_stats:
+        stats = PathStats(total_rays=st[0], total_intersections=st[1],
+                          light_hits=st[2], small_light_hits=st[3],
+                          fb_used=st[4], fb_success=st[5])
+    else:
+        z = jnp.zeros((), jnp.int32)
+        stats = PathStats(z, z, z, z, z, z)
+    return rgb, stats

@@ -300,3 +300,112 @@ def test_no_diffuse_specialisation_is_exact():
     scene, _, _, p = library.chandelier_scene()
     assert no_diffuse_possible(scene, 0.0)
     assert not no_diffuse_possible(scene, 0.9)
+
+
+def test_lean_matches_fused_no_diffuse():
+    """impl="lean" (production tracer: in-sweep attribute selection,
+    unrolled levels, inline fold, lax.map blocking) must be bit-identical
+    to impl="fused" — no-diffuse chandelier config (no RNG in play)."""
+    from raytracer_tpu.render.path_renderer import render_path
+    from raytracer_tpu.scene import library
+
+    scene, _, _, p = library.chandelier_scene()
+    kw = dict(width=40, height=30, spp=2, max_bounces=4,
+              camera_position=p["camera_position"], mirror_threshold=0.0)
+    img_f, st_f = render_path(scene, jax.random.key(0), **kw)
+    img_l, st_l = render_path(scene, jax.random.key(0), impl="lean", **kw)
+    np.testing.assert_array_equal(np.asarray(img_l), np.asarray(img_f))
+    for f in ("total_rays", "total_intersections", "light_hits",
+              "small_light_hits", "fb_used", "fb_success"):
+        assert int(getattr(st_l, f)) == int(getattr(st_f, f)), f
+
+
+def _lean_scene():
+    """Small scene exercising every lean branch (diffuse ground, mirror,
+    big + small emissive) — CPU compile of the unrolled-level programs is
+    linear in sphere count, so parity tests beyond the chandelier one use
+    this 5-sphere scene to keep the suite fast."""
+    b = SceneBuilder()
+    b.add_sphere((0, -100.5, 0), 100.0, (180, 180, 180), id=1)  # ground
+    b.add_sphere((0, 1, -5), 1.0, (200, 100, 50), id=2)         # diffuse
+    b.add_sphere((3, 1, -5), 1.0, (220, 220, 220), reflective=0.95, id=3)
+    b.add_sphere((0, 5, -5), 1.2, (255, 255, 240), emitive=1.0, id=4)
+    b.add_sphere((-2, 2, -4), 0.2, (255, 240, 200), emitive=1.0, id=5)
+    scene, _, _ = b.build()
+    return scene
+
+
+def test_lean_matches_fused_diffuse_multiblock():
+    """Diffuse bounces draw RNG: the lean prologue must reproduce the
+    fused scan's exact draw schedule, including across block boundaries
+    and padded lanes (R=3601 rays at block_rays=1000 → 4 blocks with 399
+    dead padded lanes)."""
+    from raytracer_tpu.trace.path import _trace_path_lean
+
+    scene = _lean_scene()
+    rng = np.random.RandomState(0)
+    o = jnp.asarray([0.0, 1.0, 2.0], jnp.float32) + jnp.zeros(
+        (3601, 3), jnp.float32)
+    d = jnp.asarray(rng.randn(3601, 3), jnp.float32)
+    key = jax.random.key(7)
+    rgb_f, st_f = trace_path(scene, o, d, key, max_bounces=4,
+                             mirror_threshold=0.9)
+    rgb_l, st_l = _trace_path_lean(scene, o, d, key, max_bounces=4,
+                                   mirror_threshold=0.9,
+                                   background=(2.0, 2.0, 5.0), guide_fn=None,
+                                   fb_prob=1.0, collect_stats=True,
+                                   fast=False, block_rays=1000)
+    np.testing.assert_array_equal(np.asarray(rgb_l), np.asarray(rgb_f))
+    for f in ("total_rays", "total_intersections", "light_hits",
+              "small_light_hits"):
+        assert int(getattr(st_l, f)) == int(getattr(st_f, f)), f
+
+
+def test_lean_matches_fused_guided():
+    """Guided lean: obs built from in-sweep material selects + the fused
+    draw schedule must reproduce the fused guided tracer bit for bit
+    (same actions, same fb gate, same fb_used/fb_success)."""
+    from raytracer_tpu.trace.path import _trace_path_lean
+
+    scene = _lean_scene()
+    rng = np.random.RandomState(1)
+    o = jnp.asarray([0.0, 1.0, 2.0], jnp.float32) + jnp.zeros(
+        (2500, 3), jnp.float32)
+    d = jnp.asarray(rng.randn(2500, 3), jnp.float32)
+    key = jax.random.key(11)
+
+    def guide(obs):
+        return jnp.stack([jnp.tanh(obs[:, 0]), jnp.tanh(obs[:, 1])], -1)
+
+    rgb_f, st_f = trace_path(scene, o, d, key, max_bounces=4,
+                             mirror_threshold=0.9, guide_fn=guide,
+                             fb_prob=0.7)
+    rgb_l, st_l = _trace_path_lean(scene, o, d, key, max_bounces=4,
+                                   mirror_threshold=0.9,
+                                   background=(2.0, 2.0, 5.0),
+                                   guide_fn=guide, fb_prob=0.7,
+                                   collect_stats=True, fast=False,
+                                   block_rays=1024)
+    np.testing.assert_array_equal(np.asarray(rgb_l), np.asarray(rgb_f))
+    for f in ("total_rays", "total_intersections", "light_hits",
+              "small_light_hits", "fb_used", "fb_success"):
+        assert int(getattr(st_l, f)) == int(getattr(st_f, f)), f
+
+
+def test_lean_fast_matches_fused_fast():
+    """precision="fast" routes through lean identically to fused fast."""
+    scene = _lean_scene()
+    rng = np.random.RandomState(2)
+    o = jnp.asarray([0.0, 1.0, 2.0], jnp.float32) + jnp.zeros(
+        (900, 3), jnp.float32)
+    d = jnp.asarray(rng.randn(900, 3), jnp.float32)
+    key = jax.random.key(2)
+    from raytracer_tpu.trace.path import _trace_path_lean
+    rgb_f, _ = trace_path(scene, o, d, key, max_bounces=3,
+                          mirror_threshold=0.9, precision="fast")
+    rgb_l, _ = _trace_path_lean(scene, o, d, key, max_bounces=3,
+                                mirror_threshold=0.9,
+                                background=(2.0, 2.0, 5.0), guide_fn=None,
+                                fb_prob=1.0, collect_stats=True, fast=True,
+                                block_rays=4096)
+    np.testing.assert_array_equal(np.asarray(rgb_l), np.asarray(rgb_f))
