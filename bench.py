@@ -250,6 +250,24 @@ def main():
         extra["path_800x600_traditional_rays_per_sec"] = round(b_rps, 1)
         extra["path_800x600_wall_ms"] = round(bdt * 1e3, 2)
 
+        # Lean production tracer (impl="lean"): bit-identical image to
+        # fused (tests/test_path.py), restructured to the measured TPU
+        # cost profile — in-sweep attribute selects, scene literals,
+        # unrolled levels + inline fold, ~240k-ray blocking
+        # (scripts/profile_path4-8).  Wall headline is the better of the
+        # two production configs this session (relay weather swings the
+        # ranking between sessions; both recorded).
+        def run_trad_big_lean(k=key):
+            return render_path(scene, k, width=800, height=600, spp=8,
+                               max_bounces=MB,
+                               camera_position=p["camera_position"],
+                               mirror_threshold=0.0, impl="lean")
+
+        ldt, _ = time_steady(run_trad_big_lean)
+        log(f"traditional 800x600@8spp lean: {ldt*1e3:.1f} ms/frame")
+        extra["path_800x600_lean_wall_ms"] = round(ldt * 1e3, 2)
+        extra["path_800x600_best_wall_ms"] = round(min(bdt, ldt) * 1e3, 2)
+
         # precision="fast" production mode (squared-radius test + rsqrt
         # direct lighting; measured max pixel delta 1/255 on 1e-5 of
         # pixels vs exact).
@@ -288,57 +306,50 @@ def main():
         import jax.numpy as _jnp
         from functools import partial as _p
 
-        def make_chain(n):
+        # Chains reduce the FULL image (sum(img), not a slice) so XLA
+        # cannot dead-code any block/chunk of the frame — every recorded
+        # device number covers the whole frame's compute.
+        def make_chain(n, **kw):
             @jax.jit
             def prog(k):
                 def one(kk):
                     img, _ = render_path(
                         scene, kk, width=800, height=600, spp=8,
-                        max_bounces=MB, spp_chunk=1,
+                        max_bounces=MB,
                         camera_position=p["camera_position"],
-                        mirror_threshold=0.0, impl="fused")
-                    return _jnp.sum(img[:16])
+                        mirror_threshold=0.0, **kw)
+                    return _jnp.sum(img)
                 return jax.lax.map(one, jax.random.split(k, n))
             return prog
 
-        c1, c4 = make_chain(1), make_chain(4)
-        t1f, _ = time_steady(lambda: c1(key), iters=5)
-        t4f, _ = time_steady(lambda: c4(key), iters=5)
-        if t4f <= t1f:
-            # Relay variance swamped the marginal cost — a 0-or-negative
-            # delta would poison the driver-read metric; flag instead.
-            log(f"path device-compute measurement invalid this run "
-                f"(t1={t1f*1e3:.0f} ms, t4={t4f*1e3:.0f} ms; relay noise)")
-        else:
+        def device_ms(name, metric_key, **kw):
+            c1, c4 = make_chain(1, **kw), make_chain(4, **kw)
+            t1f, _ = time_steady(lambda: c1(key), iters=5)
+            t4f, _ = time_steady(lambda: c4(key), iters=5)
+            if t4f <= t1f:
+                # Relay variance swamped the marginal cost — a 0-or-
+                # negative delta would poison the driver-read metric.
+                log(f"path {name} device measurement invalid this run "
+                    f"(t1={t1f*1e3:.0f} ms, t4={t4f*1e3:.0f} ms)")
+                return None
             pdev_ms = (t4f - t1f) / 3 * 1e3
             prays = 800 * 600 * 8                   # camera samples/frame
-            log(f"path 800x600@8spp device compute (amortized): "
+            log(f"path 800x600@8spp {name} device compute (amortized): "
                 f"{pdev_ms:.1f} ms/frame "
                 f"({prays/(pdev_ms/1e3)/1e6:.0f} Msamples/s)")
-            extra["path_800x600_device_ms"] = round(pdev_ms, 2)
+            extra[metric_key] = round(pdev_ms, 2)
+            return pdev_ms
 
-        def make_chain_fast(n):
-            @jax.jit
-            def prog(k):
-                def one(kk):
-                    img, _ = render_path(
-                        scene, kk, width=800, height=600, spp=8,
-                        max_bounces=MB, spp_chunk=1,
-                        camera_position=p["camera_position"],
-                        mirror_threshold=0.0, impl="fused",
-                        precision="fast")
-                    return _jnp.sum(img[:16])
-                return jax.lax.map(one, jax.random.split(k, n))
-            return prog
-
-        f1, f4 = make_chain_fast(1), make_chain_fast(4)
-        t1f, _ = time_steady(lambda: f1(key), iters=5)
-        t4f, _ = time_steady(lambda: f4(key), iters=5)
-        if t4f > t1f:
-            pdev_ms = (t4f - t1f) / 3 * 1e3
-            log(f"path 800x600@8spp fast device compute (amortized): "
-                f"{pdev_ms:.1f} ms/frame")
-            extra["path_800x600_fast_device_ms"] = round(pdev_ms, 2)
+        dev_f = device_ms("fused+chunk", "path_800x600_fused_device_ms",
+                          impl="fused", spp_chunk=1)
+        dev_l = device_ms("lean", "path_800x600_lean_device_ms",
+                          impl="lean")
+        best_dev = min((x for x in (dev_f, dev_l) if x is not None),
+                       default=None)
+        if best_dev is not None:
+            extra["path_800x600_device_ms"] = round(best_dev, 2)
+        device_ms("fast", "path_800x600_fast_device_ms",
+                  impl="fused", spp_chunk=1, precision="fast")
     except Exception as e:                                  # pragma: no cover
         log(f"path device-compute bench failed: {e!r}")
 

@@ -168,3 +168,25 @@ def test_chandelier_held_out_artifact_is_self_consistent():
     t = d["teacher_one_step"]
     if t["agent_hit_rate_core"] <= t["random_hit_rate_core"]:
         assert "diverge" in d["explanation"]
+
+
+HELD_OUT = Path(__file__).parents[1] / "models" / "fb_multi_scene_held_out.json"
+
+
+@pytest.mark.skipif(not HELD_OUT.exists(), reason="artifact missing")
+def test_flat_type_probe_verdicts_recorded():
+    """VERDICT r3 item 9: the two template types that tied policy==random
+    at 256 episodes (simple, chandelier) must carry a decision-grade
+    verdict from the 1024-episode probe (scripts/flat_type_probe.py):
+    chandelier resolved agent-failure (generalist significantly below
+    random, specialist significantly above — both |z| > 2), simple
+    recorded signal-starved with its counts."""
+    import json
+
+    art = json.loads(HELD_OUT.read_text())
+    probe = art["flat_type_probe"]
+    for t in ("simple", "chandelier"):
+        assert len(probe[t]["verdict"]) > 40, t
+    assert probe["chandelier"]["generalist_z"] < -2
+    assert probe["chandelier"]["specialist_z"] > 2
+    assert probe["simple"]["episodes"] >= 20000
