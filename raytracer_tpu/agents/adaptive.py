@@ -25,6 +25,18 @@ class AdaptiveState:
     consecutive_light_hits: jnp.ndarray   # [B] i32
     total_light_hits: jnp.ndarray         # [B] i32
 
+    # Rollout-facing views (agents' scan bodies read state.done /
+    # state.total_reward on whichever env they drive — the wrapper state
+    # forwards to the wrapped EnvState so PPOTrainer/SACTrainer run on the
+    # shaped env unchanged).
+    @property
+    def done(self):
+        return self.env.done
+
+    @property
+    def total_reward(self):
+        return self.env.total_reward
+
 
 class AdaptiveRewardRayTracerEnv:
     """Shaping on top of the batched env, matching the reference:

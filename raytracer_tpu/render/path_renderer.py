@@ -132,6 +132,31 @@ def _render_path_lean_jit(scene, key, *, g_params, width, height, spp,
     return img, stats
 
 
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
+                                   "mirror_threshold", "fov", "collect_stats",
+                                   "emissive_idx", "no_diffuse", "fast",
+                                   "spec", "background", "interpret"))
+def _render_path_pallas_jit(key, *, width, height, spp, max_bounces, fov,
+                            camera_position, mirror_threshold, background,
+                            collect_stats, emissive_idx, no_diffuse, fast,
+                            spec, interpret):
+    """ONE dispatch: camera bundle → whole-trace Pallas kernel → assembly
+    (core/pallas_path.py; unguided, concrete scene — the router in
+    render_path enforces both)."""
+    from ..core.pallas_path import trace_path_pallas_impl
+    k_jit, k_trace = jax.random.split(key)
+    origins, dirs = _camera_bundle(
+        k_jit, width=width, height=height, spp=spp, fov=fov,
+        camera_position=camera_position)
+    rgb, stats = trace_path_pallas_impl(
+        origins, dirs, k_trace, max_bounces=max_bounces,
+        mirror_threshold=mirror_threshold, background=background,
+        spec=spec, emissive_idx=emissive_idx, no_diffuse=no_diffuse,
+        fast=fast, collect_stats=collect_stats, interpret=interpret)
+    img = _assemble(rgb, spp=spp, height=height, width=width)
+    return img, stats
+
+
 def _render_path_chunked(scene, key, *, width, height, spp_chunk, chunks,
                          max_bounces, fov, camera_position, mirror_threshold,
                          background, guide_fn, fb_prob, collect_stats,
@@ -232,6 +257,27 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
             mirror_threshold=mirror_threshold, background=background,
             guide_fn=guide_fn, fb_prob=fb_prob, collect_stats=collect_stats,
             fast=fast)
+    if impl == "pallas":
+        if spp_chunk is not None:
+            raise ValueError("impl='pallas' traces the full wavefront "
+                             "in-kernel; spp_chunk applies to impl='fused'")
+        if guide_fn is not None:
+            raise ValueError("impl='pallas' does not support guide_fn; use "
+                             "impl='fused'/'lean' for guided rendering")
+        spec = scene_spec(scene)
+        if spec is None:
+            raise ValueError("impl='pallas' requires a concrete scene "
+                             "(scene_spec)")
+        return _render_path_pallas_jit(
+            key, width=width, height=height, spp=spp,
+            max_bounces=max_bounces, fov=fov, camera_position=cam,
+            mirror_threshold=mirror_threshold,
+            background=tuple(float(b) for b in background),
+            collect_stats=collect_stats,
+            emissive_idx=emissive_indices(scene),
+            no_diffuse=no_diffuse_possible(scene, mirror_threshold),
+            fast=fast, spec=spec,
+            interpret=jax.default_backend() != "tpu")
     if spp_chunk is not None and spp_chunk < spp:
         if impl != "fused":
             raise ValueError("spp_chunk requires impl='fused'")

@@ -236,6 +236,12 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                                 background=background, guide_fn=guide_fn,
                                 fb_prob=fb_prob, collect_stats=collect_stats,
                                 fast=fast)
+    if impl == "pallas":
+        return _trace_path_pallas(scene, origins, dirs, key,
+                                  max_bounces=max_bounces,
+                                  mirror_threshold=mirror_threshold,
+                                  background=background, guide_fn=guide_fn,
+                                  collect_stats=collect_stats, fast=fast)
     if impl != "fused":
         raise ValueError(f"unknown impl {impl!r}")
     return _trace_path_fused(scene, origins, dirs, key,
@@ -244,6 +250,31 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                              background=background, guide_fn=guide_fn,
                              fb_prob=fb_prob, collect_stats=collect_stats,
                              fast=fast)
+
+
+def _trace_path_pallas(scene, origins, dirs, key, *, max_bounces,
+                       mirror_threshold, background, guide_fn,
+                       collect_stats, fast):
+    """Whole-trace Pallas kernel (core/pallas_path.py): unguided tracing on
+    a CONCRETE scene only — the kernel bakes the sphere table as literals
+    and has no policy-forward plane.  Guided / traced-scene configs use
+    the XLA impls."""
+    if guide_fn is not None:
+        raise ValueError("impl='pallas' does not support guide_fn; use "
+                         "impl='fused'/'lean' for guided tracing")
+    spec = scene_spec(scene)
+    if spec is None:
+        raise ValueError("impl='pallas' requires a concrete scene "
+                         "(scene_spec); traced scenes use the XLA impls")
+    from ..core.pallas_path import trace_path_pallas_impl
+    return trace_path_pallas_impl(
+        origins, dirs, key, max_bounces=max_bounces,
+        mirror_threshold=mirror_threshold,
+        background=tuple(float(b) for b in background), spec=spec,
+        emissive_idx=emissive_indices(scene),
+        no_diffuse=no_diffuse_possible(scene, mirror_threshold),
+        fast=fast, collect_stats=collect_stats,
+        interpret=jax.default_backend() != "tpu")
 
 
 def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
@@ -835,6 +866,15 @@ def _terminated_emissive(states):
 # block its slice, so every lane sees the same uniforms → the same sample
 # directions → the same image, bit for bit (asserted lean≡fused in
 # tests/test_path.py).
+#
+# Footprint note: the prologue materialises all L levels of uniforms for
+# the FULL wavefront (O(L·R) HBM — ~350 MB at 800×600@8spp with 8 bounces
+# guided), so the per-block live-set shrinkage does not shrink the RNG
+# buffer.  That is the price of bit-parity with the fused draw schedule:
+# per-block key derivation would draw different uniforms per lane and
+# forfeit the lean≡fused equality family.  Frames/spp large enough to OOM
+# here should render via impl="fused" + spp_chunk (bounded live set, no
+# prologue).
 # ---------------------------------------------------------------------------
 
 def scene_spec(scene) -> Optional[tuple]:

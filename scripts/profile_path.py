@@ -1,29 +1,32 @@
-"""Ablation profile of the fused path-trace kernel's device compute (TPU).
+"""Parameterized path-tracer profiler — the round-4 measurement campaign's
+eight one-off scripts (profile_path{1..8}) consolidated into subcommands
+(VERDICT r4 item 9).  Campaign findings live in STATUS.md and
+docs/lane_counts.md; this reproduces them from the working tree.
 
-Answers VERDICT r3 item 1's "where do the 149.7 device ms go" by timing the
-800x600@8spp traditional chandelier frame with individual cost components
-removed:
+Protocol notes (STATUS.md round-4 environment lessons):
+* ONE session per A/B — the tunneled relay's wall-clock weather swings
+  between sessions, and this single-core host makes any concurrent
+  CPU-heavy process (pytest, training) part of the measurement.
+* wall = best-of-N perf_counter; device = amortized in-program chain
+  (t(n) - t(1)) / (n - 1) with the chain reducing the FULL image so XLA
+  cannot dead-code part of the frame.
 
-* full        — the shipped fused tracer (collect_stats=True)
-* nostats     — per-level stat reductions off
-* nodirect    — direct-lighting sweep off (emissive_idx=())
-* nothreefry  — cosine sampling with CONSTANT u (threefry uniforms removed,
-                trig kept)
-* notrig      — cosine sampling replaced by the normal direction (threefry
-                AND arccos/sin/cos removed)
-* uniforms    — calibration: ONLY the tracer's per-level uniform draws
-* nearest     — floor: 8 chained nearest_hit_c sweeps + reflect bounce
+Subcommands:
+  prod      production configs on the 800x600@8spp + 200x100@8spp
+            chandelier traditional frame: fused, fused+spp_chunk, lean,
+            lean-fast, pallas — wall AND device, with a full-frame
+            bit-equality cross-check first  (was: profile_path7/8)
+  scale     wavefront-size scaling of the fused tracer        (was: part 2)
+  modes     no_diffuse / precision="fast" ablation            (was: part 3)
+  blocks    lean block_rays sweep                             (was: part 4)
+  literals  scene_spec literal-baking A/B (traced vs baked)   (was: part 6)
 
-Protocol: each variant runs F frames inside ONE program (lax.map), wall
-best-of-N; per-frame device = (t(F) - floor)/F with the dispatch floor
-measured from an F=1 run of `full`.  Each variant re-jits the UNWRAPPED
-fused impl so monkeypatched sampling is seen by a fresh trace (the module
-jit's cache would otherwise replay the unpatched program).
+Usage: python scripts/profile_path.py prod [--iters 10] [--skip-small]
 """
+import argparse
 import os
 import sys
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -32,12 +35,14 @@ os.makedirs("/root/.cache/jax_comp", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-W, H, SPP, MB = 800, 600, 8, 8
-F = 4          # frames per program for the amortized number
-ITERS = 5
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def time_steady(fn, warmup=1, iters=ITERS):
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_steady(fn, warmup=1, iters=10):
     for _ in range(warmup):
         jax.block_until_ready(fn())
     best = float("inf")
@@ -48,146 +53,181 @@ def time_steady(fn, warmup=1, iters=ITERS):
     return best
 
 
-def main():
-    from raytracer_tpu.render.path_renderer import _camera_bundle
-    from raytracer_tpu.scene import library
-    from raytracer_tpu.trace import path, sampling
-
-    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
-    scene, _, _, p = library.chandelier_scene()
-    cam = jnp.asarray(p["camera_position"], jnp.float32)
-    key = jax.random.key(0)
-    em_idx = path.emissive_indices(scene)
-    raw_impl = path._trace_path_fused_impl.__wrapped__
-
-    def make_prog(emissive_idx, collect_stats, frames):
+def device_ms(render_fn, key, n=4, iters=5):
+    """Amortized device compute of one render inside an in-program chain;
+    returns None when relay variance swamps the marginal cost."""
+    def make_chain(m):
         @jax.jit
-        def prog(scene, key):
-            def one(k):
-                k_jit, k_trace = jax.random.split(k)
-                o, d = _camera_bundle(k_jit, width=W, height=H, spp=SPP,
-                                      fov=60.0, camera_position=cam)
-                rgb, stats = raw_impl(
-                    scene, o, d, k_trace, None, max_bounces=MB,
-                    mirror_threshold=0.0, background=p["background"],
-                    guide_fn=None, g_apply=None, g_dtype=None, fb_prob=1.0,
-                    collect_stats=collect_stats, emissive_idx=emissive_idx)
-                return jnp.sum(rgb[:64])
-            return jax.lax.map(one, jax.random.split(key, frames))
+        def prog(k):
+            def one(kk):
+                img, _ = render_fn(kk)
+                return jnp.sum(img)
+            return jax.lax.map(one, jax.random.split(k, m))
         return prog
 
-    results = {}
+    c1, cn = make_chain(1), make_chain(n)
+    t1 = time_steady(lambda: c1(key), iters=iters)
+    tn = time_steady(lambda: cn(key), iters=iters)
+    if tn <= t1:
+        return None
+    return (tn - t1) / (n - 1) * 1e3
 
-    def run(name, prog, frames):
-        t0 = time.perf_counter()
-        jax.block_until_ready(prog(scene, key))
-        print(f"{name}: compile+run {time.perf_counter()-t0:.1f}s",
-              file=sys.stderr, flush=True)
-        dt = time_steady(lambda: prog(scene, key))
-        results[name] = (dt, frames)
-        print(f"{name}: {dt*1e3:.1f} ms total ({frames} frames)", flush=True)
-        return dt
 
-    # Dispatch floor from a 1-frame full run.
-    t1 = run("full_f1", make_prog(em_idx, True, 1), 1)
-    tF = run("full", make_prog(em_idx, True, F), F)
-    floor = max(t1 - (tF - t1) / (F - 1), 0.0)
-    per_full = (tF - floor) / F
-    print(f"floor={floor*1e3:.1f} ms, full per-frame={per_full*1e3:.1f} ms",
-          flush=True)
+def _scene():
+    from raytracer_tpu.scene import library
+    scene, _, _, p = library.chandelier_scene()
+    return scene, p
 
-    def per_frame(name):
-        dt, frames = results[name]
-        return (dt - floor) / frames
 
-    run("nostats", make_prog(em_idx, False, F), F)
-    run("nodirect", make_prog((), True, F), F)
+def cmd_prod(args):
+    import numpy as np
+    from raytracer_tpu.render.path_renderer import render_path
 
-    # --- patched-sampling variants (fresh trace each; restore after) -----
-    orig = sampling.cosine_weighted_c
+    scene, p = _scene()
+    key = jax.random.key(0)
+    MB = 8
 
-    def cosine_nothreefry(key, nx, ny, nz, convention="renderer"):
-        u0 = jnp.full(nx.shape, 0.37, nx.dtype)
-        u1 = jnp.full(nx.shape, 0.61, nx.dtype)
-        theta = jnp.arccos(jnp.sqrt(u0))
-        phi = 2.0 * jnp.pi * u1
-        return sampling.local_to_world_c(theta, phi, nx, ny, nz, convention)
+    def mk(w, h, spp, impl, **kw):
+        def fn(k=key):
+            return render_path(scene, k, width=w, height=h, spp=spp,
+                               max_bounces=MB,
+                               camera_position=p["camera_position"],
+                               mirror_threshold=0.0, impl=impl, **kw)
+        return fn
 
-    def cosine_notrig(key, nx, ny, nz, convention="renderer"):
-        return nx, ny, nz
+    variants = [
+        ("fused", mk(800, 600, 8, "fused")),
+        ("fused+chunk", mk(800, 600, 8, "fused", spp_chunk=1)),
+        ("lean", mk(800, 600, 8, "lean")),
+        ("lean-fast", mk(800, 600, 8, "lean", precision="fast")),
+        ("pallas", mk(800, 600, 8, "pallas")),
+        ("pallas-fast", mk(800, 600, 8, "pallas", precision="fast")),
+    ]
 
-    try:
-        sampling.cosine_weighted_c = cosine_nothreefry
-        run("nothreefry", make_prog(em_idx, True, F), F)
-        sampling.cosine_weighted_c = cosine_notrig
-        run("notrig", make_prog(em_idx, True, F), F)
-    finally:
-        sampling.cosine_weighted_c = orig
+    # Full-frame bit-equality cross-check before timing (fused is the
+    # reference; spp_chunk draws a different jitter stream by design).
+    img_f, st_f = variants[0][1]()
+    jax.block_until_ready(img_f)
+    for name, fn in variants[2:]:
+        if "fast" in name:
+            continue
+        img, st = fn()
+        same = bool(jnp.array_equal(img, img_f))
+        log(f"parity {name} vs fused: bit-equal={same} "
+            f"small_hits={int(st.small_light_hits)}/{int(st_f.small_light_hits)}")
 
-    # --- calibrations ------------------------------------------------------
-    R = W * H * SPP
+    for name, fn in variants:
+        wall = time_steady(fn, iters=args.iters)
+        dev = device_ms(fn, key)
+        log(f"800x600@8spp {name:12s} wall {wall*1e3:7.1f} ms   device "
+            f"{dev:.1f} ms" if dev else
+            f"800x600@8spp {name:12s} wall {wall*1e3:7.1f} ms   device n/a")
 
-    @jax.jit
-    def uniforms_prog(key):
-        def one(k):
-            acc = jnp.zeros((), jnp.float32)
-            for i in range(MB):
-                k, sub = jax.random.split(k)
-                kd, kf = jax.random.split(sub)
-                u = jax.random.uniform(kd, (R, 2), jnp.float32)
-                acc = acc + jnp.sum(u[:8])
-            return acc
-        return jax.lax.map(one, jax.random.split(key, F))
+    if not args.skip_small:
+        for name, fn in (("fused", mk(200, 100, 8, "fused")),
+                         ("lean", mk(200, 100, 8, "lean")),
+                         ("pallas", mk(200, 100, 8, "pallas"))):
+            wall = time_steady(fn, iters=args.iters)
+            log(f"200x100@8spp {name:12s} wall {wall*1e3:7.1f} ms")
 
-    t0 = time.perf_counter()
-    jax.block_until_ready(uniforms_prog(key))
-    print(f"uniforms: compile+run {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr, flush=True)
-    dt = time_steady(lambda: uniforms_prog(key))
-    results["uniforms"] = (dt, F)
-    print(f"uniforms: {dt*1e3:.1f} ms total ({F} frames)", flush=True)
 
-    from raytracer_tpu.core.intersect import NO_SUPPRESS, nearest_hit_c
-    from raytracer_tpu.core import vec
+def cmd_scale(args):
+    from raytracer_tpu.render.path_renderer import render_path
 
-    @jax.jit
-    def nearest_prog(scene, key):
-        def one(k):
-            k_jit, _ = jax.random.split(k)
-            o, d = _camera_bundle(k_jit, width=W, height=H, spp=SPP,
-                                  fov=60.0, camera_position=cam)
-            ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
-            dn = vec.normalise_safe(d)
-            dx, dy, dz = dn[:, 0], dn[:, 1], dn[:, 2]
-            no_sup = jnp.full((R,), NO_SUPPRESS, jnp.int32)
-            acc = jnp.zeros((), jnp.float32)
-            for i in range(MB):
-                h = nearest_hit_c(ox, oy, oz, dx, dy, dz, scene, no_sup,
-                                  by_abs=True)
-                rx, ry, rz = vec.reflect_c(dx, dy, dz, h.nx, h.ny, h.nz)
-                ox = jnp.where(h.found, h.px + h.nx * 0.001, ox)
-                oy = jnp.where(h.found, h.py + h.ny * 0.001, oy)
-                oz = jnp.where(h.found, h.pz + h.nz * 0.001, oz)
-                dx = jnp.where(h.found, rx, dx)
-                dy = jnp.where(h.found, ry, dy)
-                dz = jnp.where(h.found, rz, dz)
-                acc = acc + jnp.sum(h.t[:8])
-            return acc
-        return jax.lax.map(one, jax.random.split(key, F))
+    scene, p = _scene()
+    key = jax.random.key(0)
+    for w, h in ((100, 50), (200, 100), (400, 300), (800, 600)):
+        def fn(k=key, w=w, h=h):
+            return render_path(scene, k, width=w, height=h, spp=8,
+                               max_bounces=8,
+                               camera_position=p["camera_position"],
+                               mirror_threshold=0.0, impl="fused")
+        wall = time_steady(fn, iters=args.iters)
+        rays = w * h * 8
+        log(f"{w}x{h}@8spp fused: {wall*1e3:7.1f} ms  "
+            f"{rays/wall/1e6:6.1f} Msamples/s")
 
-    t0 = time.perf_counter()
-    jax.block_until_ready(nearest_prog(scene, key))
-    print(f"nearest: compile+run {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr, flush=True)
-    dt = time_steady(lambda: nearest_prog(scene, key))
-    results["nearest"] = (dt, F)
-    print(f"nearest: {dt*1e3:.1f} ms total ({F} frames)", flush=True)
 
-    print("\n--- per-frame device (floor-corrected) ---", flush=True)
-    for name in ("full", "nostats", "nodirect", "nothreefry", "notrig",
-                 "uniforms", "nearest"):
-        if name in results:
-            print(f"{name:12s} {per_frame(name)*1e3:8.1f} ms", flush=True)
+def cmd_modes(args):
+    from raytracer_tpu.render.path_renderer import render_path
+
+    scene, p = _scene()
+    key = jax.random.key(0)
+    for label, kw in (("exact mt=0.0 (no_diffuse)", dict(mirror_threshold=0.0)),
+                      ("fast  mt=0.0", dict(mirror_threshold=0.0,
+                                            precision="fast")),
+                      ("exact mt=0.9 (diffuse)", dict(mirror_threshold=0.9)),
+                      ("fast  mt=0.9", dict(mirror_threshold=0.9,
+                                            precision="fast"))):
+        def fn(k=key, kw=kw):
+            return render_path(scene, k, width=800, height=600, spp=8,
+                               max_bounces=8,
+                               camera_position=p["camera_position"],
+                               impl="lean", **kw)
+        wall = time_steady(fn, iters=args.iters)
+        log(f"800x600@8spp lean {label}: {wall*1e3:7.1f} ms")
+
+
+def cmd_blocks(args):
+    from raytracer_tpu.trace.path import _trace_path_lean
+    from raytracer_tpu.render.camera import perspective_rays
+
+    scene, p = _scene()
+    key = jax.random.key(0)
+    o, d = perspective_rays(800, 600, fov=60, origin=p["camera_position"],
+                            variant="fb")
+    o = jnp.tile(o, (8, 1))
+    d = jnp.tile(d, (8, 1))
+    for br in (61440, 122880, 245760, 491520, 983040):
+        def fn(k=key, br=br):
+            return _trace_path_lean(scene, o, d, k, max_bounces=8,
+                                    mirror_threshold=0.0,
+                                    background=(2.0, 2.0, 5.0),
+                                    guide_fn=None, fb_prob=0.0,
+                                    collect_stats=False, fast=False,
+                                    block_rays=br)
+        wall = time_steady(fn, iters=args.iters)
+        log(f"lean block_rays={br:7d}: {wall*1e3:7.1f} ms")
+
+
+def cmd_literals(args):
+    """Traced-scene vs baked-literal lean tracer (scene_spec A/B): pass a
+    scene whose arrays are jax device arrays produced inside jit so
+    scene_spec returns None (traced) vs the concrete library scene."""
+    from raytracer_tpu.render.path_renderer import render_path
+    from raytracer_tpu.trace.path import scene_spec
+
+    scene, p = _scene()
+    key = jax.random.key(0)
+
+    import dataclasses
+    traced = jax.tree.map(jnp.asarray, scene)
+    # Defeat scene_spec's numpy conversion by donating through jit once.
+    traced = jax.jit(lambda s: s)(traced)
+    log(f"spec(concrete) is None: {scene_spec(scene) is None}; "
+        f"spec(traced) is None: {scene_spec(traced) is None}")
+
+    for label, sc, impl in (("baked lean", scene, "lean"),
+                            ("traced fused", traced, "fused")):
+        def fn(k=key, sc=sc, impl=impl):
+            return render_path(sc, k, width=800, height=600, spp=8,
+                               max_bounces=8,
+                               camera_position=p["camera_position"],
+                               mirror_threshold=0.0, impl=impl)
+        wall = time_steady(fn, iters=args.iters)
+        log(f"800x600@8spp {label}: {wall*1e3:7.1f} ms")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["prod", "scale", "modes", "blocks",
+                                    "literals"])
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--skip-small", action="store_true")
+    args = ap.parse_args()
+    log(f"devices: {jax.devices()}")
+    {"prod": cmd_prod, "scale": cmd_scale, "modes": cmd_modes,
+     "blocks": cmd_blocks, "literals": cmd_literals}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,90 @@
+"""Whole-trace Pallas path kernel (core/pallas_path.py) equals the XLA
+tracers bit for bit — images AND stats, across padding, both precision
+modes, the no-diffuse chandelier configuration, and the full renderer.
+
+Runs in interpreter mode on the CPU backend (conftest pins cpu); the TPU
+compiled path shares the same kernel body.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.render.path_renderer import render_path
+from raytracer_tpu.scene.types import SceneBuilder
+from raytracer_tpu.scene import library
+from raytracer_tpu.trace.path import trace_path
+
+from test_path import _lean_scene
+
+
+def _mirror_scene():
+    """Every real sphere emissive or mirror → no_diffuse at threshold 0.0
+    (the chandelier traditional configuration's static shape)."""
+    b = SceneBuilder()
+    b.add_sphere((0, -100.5, 0), 100.0, (180, 180, 180), reflective=0.3,
+                 id=1)
+    b.add_sphere((0, 1, -5), 1.0, (220, 220, 220), reflective=0.95, id=2)
+    b.add_sphere((0, 5, -5), 1.2, (255, 255, 240), emitive=1.0, id=3)
+    b.add_sphere((-2, 2, -4), 0.2, (255, 240, 200), emitive=1.0, id=4)
+    scene, _, _ = b.build()
+    return scene
+
+
+def _rays(n, seed=0):
+    rng = np.random.RandomState(seed)
+    o = jnp.asarray([0.0, 1.0, 2.0], jnp.float32) + jnp.zeros(
+        (n, 3), jnp.float32)
+    d = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    return o, d
+
+
+def _assert_equal(scene, o, d, key, **kw):
+    rgb_f, st_f = trace_path(scene, o, d, key, impl="fused", **kw)
+    rgb_p, st_p = trace_path(scene, o, d, key, impl="pallas", **kw)
+    np.testing.assert_array_equal(np.asarray(rgb_p), np.asarray(rgb_f))
+    for f in ("total_rays", "total_intersections", "light_hits",
+              "small_light_hits"):
+        assert int(getattr(st_p, f)) == int(getattr(st_f, f)), f
+
+
+def test_pallas_no_diffuse_bit_exact():
+    # 3601 rays: 2 tiles with 495 padded lanes — pad must not leak into
+    # stats or rgb.
+    o, d = _rays(3601)
+    _assert_equal(_mirror_scene(), o, d, jax.random.key(3),
+                  max_bounces=4, mirror_threshold=0.0)
+
+
+def test_pallas_diffuse_bit_exact():
+    o, d = _rays(3601, seed=1)
+    _assert_equal(_lean_scene(), o, d, jax.random.key(7),
+                  max_bounces=4, mirror_threshold=0.9)
+
+
+def test_pallas_fast_mode_bit_exact_vs_fused_fast():
+    o, d = _rays(777, seed=2)
+    _assert_equal(_lean_scene(), o, d, jax.random.key(11),
+                  max_bounces=3, mirror_threshold=0.9, precision="fast")
+
+
+def test_pallas_guided_and_traced_scene_rejected():
+    scene = _lean_scene()
+    o, d = _rays(8)
+    try:
+        trace_path(scene, o, d, jax.random.key(0), impl="pallas",
+                   guide_fn=lambda obs: jnp.zeros(obs.shape[:-1] + (2,)))
+        assert False, "guide_fn should be rejected"
+    except ValueError as e:
+        assert "guide_fn" in str(e)
+
+
+def test_render_path_pallas_matches_fused():
+    scene, _, _, p = library.chandelier_scene()
+    key = jax.random.key(0)
+    kw = dict(width=40, height=25, spp=2, max_bounces=3,
+              camera_position=p["camera_position"], mirror_threshold=0.0)
+    img_f, st_f = render_path(scene, key, impl="fused", **kw)
+    img_p, st_p = render_path(scene, key, impl="pallas", **kw)
+    np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_f))
+    assert int(st_p.total_rays) == int(st_f.total_rays)
+    assert int(st_p.small_light_hits) == int(st_f.small_light_hits)

@@ -374,8 +374,14 @@ def test_lean_matches_fused_guided():
     d = jnp.asarray(rng.randn(2500, 3), jnp.float32)
     key = jax.random.key(11)
 
+    # The guide mixes ALL 22 observation columns (fixed random projection)
+    # so a regression in ANY in-sweep-selected column — the material
+    # props at 9-12, id/100 at 18, bounce at 16, the constant pads —
+    # changes actions and breaks the bit-equality below.
+    proj = jnp.asarray(np.random.RandomState(3).randn(22, 2), jnp.float32)
+
     def guide(obs):
-        return jnp.stack([jnp.tanh(obs[:, 0]), jnp.tanh(obs[:, 1])], -1)
+        return jnp.tanh(obs @ proj)
 
     rgb_f, st_f = trace_path(scene, o, d, key, max_bounces=4,
                              mirror_threshold=0.9, guide_fn=guide,
