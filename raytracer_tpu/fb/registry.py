@@ -3,13 +3,19 @@
 traced program never branches.
 
 Why it exists: distilled students are camera-distribution-specific.
-Measured on the chandelier scene (TPU, equal spp, seed 5):
+Measured on the chandelier scene (TPU, equal spp; hit ratios seed 5,
+wall ratios re-measured round 5 with BOTH sides impl="fused" best-of-10 —
+scripts/measure_guided_ab.py, 2026-08-21):
 
 * the all-around student (``fb_chandelier_distilled.npz``) wins every
-  config jointly — 2.49× small-light hits at 200×100@8spp, 4.04× at
-  1.77× speedup at 800×600@8spp;
+  config jointly on hits — 2.6× small-light hits at 200×100@8spp, 4.0×
+  at 800×600@8spp — at 0.85× (200×100) / 0.51× (800×600) the traditional
+  tracer's wall-clock on the XLA impls (hits-per-second: 2.2× / 2.0×).
+  Earlier rounds recorded ≥1× wall speedups against a then-slower
+  traditional; the traditional tracer has since been optimised 5×+ and
+  the wall claims here track the current BENCH numbers;
 * the 2:1 SPECIALIST (``fb_chandelier_distilled_2to1.npz``) reaches
-  7.2× at the 2:1 aspect but collapses to 0.36× at 4:3.
+  7.9-8.0× hits at the 2:1 aspect but collapses to 0.36× at 4:3.
 
 Cross-teacher target merging measurably fails (fb/distill.py
 ``best_of_teachers_targets`` caveat), so when the camera is known the

@@ -49,6 +49,7 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0,
                     help="multiply stage timesteps")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--round2", action="store_true")
     ap.add_argument("--eval-episodes", type=int, default=512)
     args = ap.parse_args()
 
@@ -76,17 +77,34 @@ def main():
     log(f"random: hit_rate={rnd['light_hit_rate']:.4f} "
         f"avg_reward={rnd['avg_reward']:.3f}")
 
-    candidates = {
-        "long_flat": dict(env=base_env, anneal=False, ent=0.0),
-        "anneal": dict(env=base_env, anneal=True, ent=None),
-        "shaped_anneal": dict(env=shaped_env, anneal=True, ent=None),
-    }
+    if args.round2:
+        # Round-2 grid: training measured at ~15k steps/s on-device, so
+        # 2M-step runs cost ~2 min — scale steps/batch/net instead of
+        # stopping at the round-1 local optimum (hit_rate ~0.13, z~1.3).
+        stages = [(0.1, int(400_000 * sc)), (0.03, int(600_000 * sc)),
+                  (0.01, int(1_000_000 * sc))]
+        candidates = {
+            "shaped_anneal_2m": dict(env=shaped_env, anneal=True, ent=None),
+            "shaped_anneal_2m_big": dict(env=shaped_env, anneal=True,
+                                         ent=None, hidden=(128, 128),
+                                         batch_envs=512),
+            "anneal_2m_big": dict(env=base_env, anneal=True, ent=None,
+                                  hidden=(128, 128), batch_envs=512),
+        }
+    else:
+        candidates = {
+            "long_flat": dict(env=base_env, anneal=False, ent=0.0),
+            "anneal": dict(env=base_env, anneal=True, ent=None),
+            "shaped_anneal": dict(env=shaped_env, anneal=True, ent=None),
+        }
     sweep = {}
     best = None
     for name, cand in candidates.items():
         log(f"=== {name} ===")
         t0 = time.perf_counter()
-        tr = PPOTrainer(cand["env"], PPOConfig(), seed=0)
+        cfg = PPOConfig(hidden=cand.get("hidden", (64, 64)),
+                        batch_envs=cand.get("batch_envs", 256))
+        tr = PPOTrainer(cand["env"], cfg, seed=0)
         total_steps = 0
         train_rec = None
         for ent, steps in stages:

@@ -58,14 +58,14 @@ CONFIGS = {
     # where compute dominates the dispatch floor.
     "cornell_heldout_student_800x600": (
         "cornell_box:1007", "fb_cornell_distilled.npz",
-        dict(width=800, height=600, samples_per_pixel=8, impl="stepwise")),
+        dict(width=800, height=600, samples_per_pixel=8, impl="fused")),
     # Matched-signal twin: the student finds ~3.8x the light signal per
     # sample, so it spends 5 of 8 spp — still >2x the traditional hit
     # count, now at >1x wall-clock (the deployment framing).
     "cornell_heldout_student_800x600_matched": (
         "cornell_box:1007", "fb_cornell_distilled.npz",
         dict(width=800, height=600, samples_per_pixel=8,
-             fb_samples_per_pixel=5, impl="stepwise", timing_iters=10)),
+             fb_samples_per_pixel=5, impl="fused", timing_iters=10)),
 }
 
 

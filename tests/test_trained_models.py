@@ -190,3 +190,22 @@ def test_flat_type_probe_verdicts_recorded():
     assert probe["chandelier"]["generalist_z"] < -2
     assert probe["chandelier"]["specialist_z"] > 2
     assert probe["simple"]["episodes"] >= 20000
+
+
+PPO_BENCH = Path(__file__).parents[1] / "models" / "ppo_raytracer_benchmark.json"
+
+
+@pytest.mark.skipif(not PPO_BENCH.exists(), reason="artifact missing")
+def test_shipped_tpu_trained_ppo_beats_random():
+    """VERDICT r4 item 3 done-bar: the TPU-trained PPO checkpoint's exact
+    light-hit rate beats random at z >= 3 (shipped by
+    scripts/ppo_ship_best.py — 3-stage entropy annealing, 128x128 net,
+    batch 512, ~2M on-device steps; r4's 20k-step demo lost to random
+    0.082 vs 0.121)."""
+    import json
+
+    d = json.loads(PPO_BENCH.read_text())
+    rl, rnd = d["rl"], d["random"]
+    assert rl["light_hit_rate"] > rnd["light_hit_rate"]
+    assert d["light_hit_z"] >= 3.0
+    assert rl["episodes"] >= 1024
