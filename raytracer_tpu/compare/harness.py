@@ -59,6 +59,8 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
                    out_dir: Optional[str] = None, scene_name: str = "scene",
                    seed: int = 0, save_png: bool = True,
                    warmup: bool = True, impl: str = "stepwise",
+                   traditional_impl: Optional[str] = None,
+                   fb_impl: Optional[str] = None,
                    timing_iters: int = 1,
                    fb_samples_per_pixel: Optional[int] = None,
                    spp_chunk: Optional[int] = None) -> dict:
@@ -122,11 +124,18 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
     key = jax.random.key(seed)
     k1, k2 = jax.random.split(key)
 
+    # Per-side implementation choice (VERDICT r4 item 1: a published
+    # speedup must put BOTH sides on their best implementation; a shared
+    # suboptimal impl — e.g. stepwise/stepwise — measures dispatch
+    # overhead, not the methods).  ``impl`` remains the shared default.
+    t_impl = traditional_impl or impl
+    f_impl = fb_impl or impl
+
     def run_trad(k):
         return render_path(
             scene, k, width=width, height=height, spp=samples_per_pixel,
             max_bounces=max_bounces, camera_position=camera_position,
-            mirror_threshold=traditional_mirror_threshold, impl=impl,
+            mirror_threshold=traditional_mirror_threshold, impl=t_impl,
             spp_chunk=spp_chunk)
 
     def run_fb(k):
@@ -136,7 +145,7 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
             scene, k, width=width, height=height, spp=fb_spp,
             max_bounces=max_bounces, camera_position=camera_position,
             mirror_threshold=fb_mirror_threshold, guide_fn=guide,
-            fb_prob=fb_prob, impl=impl, spp_chunk=spp_chunk)
+            fb_prob=fb_prob, impl=f_impl, spp_chunk=spp_chunk)
 
     if warmup:
         jax.block_until_ready(run_trad(k1)[0])
@@ -172,6 +181,8 @@ def run_comparison(scene: Scene, *, camera_position, width: int = 200,
     stats = {
         "traditional": td,
         "fb": fd,
+        "implementations": {"traditional": t_impl, "fb": f_impl,
+                            "timing_iters": max(1, timing_iters)},
         "comparison": {
             "speedup": trad_time / fb_time if fb_time > 0 else 0,
             "ray_efficiency": (fd["total_rays"] / td["total_rays"]

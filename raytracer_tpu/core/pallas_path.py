@@ -74,9 +74,11 @@ TILE = 2048
 ROWS = TILE // 128
 
 # Input row-groups per tile: ox oy oz dx dy dz act  (+ 2 uniform rows per
-# level when diffuse bounces are possible).
+# level when diffuse bounces are possible, + 1 fb-gate row per level when
+# guided).
 _NRAY = 7
 # Output row-groups: r g b  running_cnt found_cnt emis_cnt small_cnt
+# (+ fb_used_cnt fb_succ_cnt when guided).
 _NOUT = 7
 
 
@@ -119,11 +121,74 @@ def _local_to_world(theta, phi, nx, ny, nz):
                        lx * tz + ly * bz + lz * nz)
 
 
+def _student_mlp(var_cols, guide_spec, lvl_frac):
+    """In-kernel distilled-student forward on component tiles.
+
+    ``var_cols``: the 14 per-lane observation columns that vary (pos 3,
+    incoming dir 3, normal 3, refl/transp/emit/ior, id/100) as
+    (ROWS, 128) arrays, in make_observation's column order with the
+    CONSTANT columns removed; their contribution — colour/255 = 0,
+    through = 0, the 0.5 pads, and bounce = lvl/max_bounces (a per-LEVEL
+    constant) — is folded into the layer-1 bias at trace time (exact:
+    Python-float math, and zero-weight columns contribute exactly 0).
+
+    ``guide_spec``: ((W, b), ...) literal layers from
+    DistilledGuide params; relu between layers, raw output.  The
+    sequential madd chain differs from XLA's dot reduction order by ulps
+    (same class as the documented FMA divergence; bit-parity holds for
+    one-hot weight columns, which the tests use).
+    """
+    VAR_IDX = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 18)
+    CONST = {13: 0.0, 14: 0.0, 15: 0.0, 16: lvl_frac, 17: 0.0,
+             19: 0.5, 20: 0.5, 21: 0.5}
+    layers, gdtype = guide_spec
+    if gdtype == "bfloat16":
+        # The deployed DistilledGuide runs obs+params in bf16 on purpose
+        # (fb/distill.py as_guide_fn: the quantisation decorrelates the
+        # deterministic policy's aim across spp — measured more hits).
+        # Mirror that: columns and constants in bf16, output back to f32.
+        import ml_dtypes
+        import numpy as _np
+        var_cols = [c.astype(jnp.bfloat16) for c in var_cols]
+        cast = lambda v: float(_np.asarray(v).astype(ml_dtypes.bfloat16))
+        CONST = {k: cast(v) for k, v in CONST.items()}
+        layers = tuple(
+            (tuple(tuple(cast(w) for w in row) for row in W),
+             tuple(cast(v) for v in b)) for W, b in layers)
+    x = list(var_cols)
+    for li, (W, b) in enumerate(layers):
+        out_dim = len(b)
+        in_idx = VAR_IDX if li == 0 else range(len(x))
+        ys = []
+        for j in range(out_dim):
+            if li == 0:
+                bias = b[j] + sum(c * W[k][j] for k, c in CONST.items())
+            else:
+                bias = b[j]
+            acc = None
+            for xi, k in enumerate(in_idx):
+                w = W[k][j]
+                if w == 0.0:
+                    continue
+                t = x[xi] * w
+                acc = t if acc is None else acc + t
+            acc = bias if acc is None else acc + bias
+            if li < len(layers) - 1:
+                acc = jnp.maximum(acc, 0.0)
+            ys.append(acc)
+        x = ys
+    return [c.astype(jnp.float32) if hasattr(c, "astype") else
+            jnp.float32(c) for c in x]    # [action_dim] components, f32
+
+
 def _kernel(spec, emissive_idx, max_bounces, mirror_threshold, no_diffuse,
-            fast, bg, rays_ref, out_ref):
+            fast, bg, guide_spec, fb_prob, rays_ref, out_ref):
     """spec: scene_spec literal rows (cx cy cz r colr colg colb refl transp
-    emit ior id); all control flow static, everything Python-unrolled."""
+    emit ior id); all control flow static, everything Python-unrolled.
+    guide_spec: None, or literal student layers → guided diffuse bounces
+    with the fused tracer's fb-gate draw schedule."""
     f32 = jnp.float32
+    guided = guide_spec is not None
 
     def row(i):
         return rays_ref[i * ROWS:(i + 1) * ROWS, :]
@@ -140,7 +205,8 @@ def _kernel(spec, emissive_idx, max_bounces, mirror_threshold, no_diffuse,
     big = jnp.float32(jnp.finfo(jnp.float32).max)
 
     levels = []     # (emis, cont, miss, ar, ag, ab, dr, dg, db)
-    run_cnt, found_cnt, emis_cnt, small_cnt = zero, zero, zero, zero
+    fb_masks = []
+    run_cnt, found_cnt, emis_cnt, small_cnt, fb_cnt = (zero,) * 5
 
     for lvl in range(max_bounces):
         # ---- nearest-hit sweep with in-sweep attribute selection
@@ -153,6 +219,8 @@ def _kernel(spec, emissive_idx, max_bounces, mirror_threshold, no_diffuse,
         e_sm = jnp.zeros(shape, bool)
         e_mr = jnp.zeros(shape, bool)
         e_id = jnp.full(shape, -1.0, f32)       # hit sphere INDEX as f32
+        if guided:                              # obs material columns
+            e_rf, e_tr, e_et, e_io, e_sd = (zero,) * 5
         found = jnp.zeros(shape, bool)
         for s, r_ in enumerate(spec):
             cx, cy, cz, rr = r_[0], r_[1], r_[2], r_[3]
@@ -186,6 +254,12 @@ def _kernel(spec, emissive_idx, max_bounces, mirror_threshold, no_diffuse,
             else:
                 e_mr = e_mr & ~better
             e_id = jnp.where(better, f32(s), e_id)
+            if guided:
+                e_rf = jnp.where(better, r_[7], e_rf)
+                e_tr = jnp.where(better, r_[8], e_tr)
+                e_et = jnp.where(better, r_[9], e_et)
+                e_io = jnp.where(better, r_[10], e_io)
+                e_sd = jnp.where(better, float(r_[11]), e_sd)
             found = found | valid
         px = ox + dx * best_t
         py = oy + dy * best_t
@@ -222,14 +296,32 @@ def _kernel(spec, emissive_idx, max_bounces, mirror_threshold, no_diffuse,
 
         # ---- bounce direction --------------------------------------------
         rlx, rly, rlz = _reflect3(dx, dy, dz, nx, ny, nz)
+        use_fb = jnp.zeros(shape, bool)
         if no_diffuse:
             dfx, dfy, dfz = rlx, rly, rlz
         else:
-            u0 = row(_NRAY + 2 * lvl)
-            u1 = row(_NRAY + 2 * lvl + 1)
+            nu = 3 if guided else 2
+            u0 = row(_NRAY + nu * lvl)
+            u1 = row(_NRAY + nu * lvl + 1)
             theta = jnp.arccos(jnp.sqrt(u0))
             phi = 2.0 * jnp.pi * u1
             dfx, dfy, dfz = _local_to_world(theta, phi, nx, ny, nz)
+            if guided:
+                ufb = row(_NRAY + nu * lvl + 2)
+                use_fb = diffuse & (ufb < fb_prob)
+                var_cols = (px, py, pz, dx, dy, dz, nx, ny, nz,
+                            e_rf, e_tr, e_et, e_io, e_sd / 100.0)
+                a = _student_mlp(var_cols, guide_spec,
+                                 float(lvl) / max_bounces)
+                a0 = jnp.clip(a[0], -1.0, 1.0)
+                a1 = jnp.clip(a[1], -1.0, 1.0)
+                # op order matches sampling.fb_action_to_direction_c
+                gtheta = (a0 + 1.0) * jnp.pi / 4.0
+                gphi = a1 * jnp.pi
+                gx, gy, gz = _local_to_world(gtheta, gphi, nx, ny, nz)
+                dfx = jnp.where(use_fb, gx, dfx)
+                dfy = jnp.where(use_fb, gy, dfy)
+                dfz = jnp.where(use_fb, gz, dfz)
 
         ox = jnp.where(cont, px + nx * 0.001, ox)
         oy = jnp.where(cont, py + ny * 0.001, oy)
@@ -240,10 +332,12 @@ def _kernel(spec, emissive_idx, max_bounces, mirror_threshold, no_diffuse,
 
         miss = running & ~emis & ~cont
         levels.append((emis, cont, miss, e_ar, e_ag, e_ab, dr, dg, db))
+        fb_masks.append(use_fb)
         run_cnt = run_cnt + running.astype(f32)
         found_cnt = found_cnt + found.astype(f32)
         emis_cnt = emis_cnt + emis.astype(f32)
         small_cnt = small_cnt + (found & e_sm).astype(f32)
+        fb_cnt = fb_cnt + use_fb.astype(f32)
         running = running & cont
 
     # still-running lanes make one extra trace() call the reference counts
@@ -278,27 +372,67 @@ def _kernel(spec, emissive_idx, max_bounces, mirror_threshold, no_diffuse,
     wrow(4, found_cnt)
     wrow(5, emis_cnt)
     wrow(6, small_cnt)
+    if guided:
+        # fb_success (PathStats): guided bounces whose lane's subpath
+        # later terminated emissive — each lane terminates at most once,
+        # so per-lane it is fb_cnt gated on the lane's terminal-emissive
+        # flag (same identity the lean impl uses).
+        term_emis = levels[0][0]
+        for lv in levels[1:]:
+            term_emis = term_emis | lv[0]
+        wrow(7, fb_cnt)
+        wrow(8, jnp.where(term_emis, fb_cnt, 0.0))
+
+
+def student_guide_spec(guide_fn):
+    """Literal ``(layers, dtype_tag)`` for the in-kernel student MLP from a
+    DistilledGuide.as_guide_fn closure (its ``_fused_spec`` carries
+    ``(params, dtype)`` — fb/distill.py), or None when the guide is not a
+    plain student (full agents keep the XLA impls)."""
+    import numpy as _np
+    spec = getattr(guide_fn, "_fused_spec", None) if guide_fn else None
+    if spec is None or len(spec) != 2:
+        return None
+    params, dtype = spec
+    try:
+        layers = []
+        for i in range(len(params)):
+            p = params[f"Dense_{i}"]
+            k = _np.asarray(p["kernel"], _np.float64)
+            b = _np.asarray(p["bias"], _np.float64)
+            layers.append((tuple(tuple(float(w) for w in row) for row in k),
+                           tuple(float(v) for v in b)))
+    except Exception:
+        return None
+    tag = ("bfloat16" if dtype == jnp.bfloat16
+           else None if dtype is None else str(_np.dtype(dtype)))
+    return (tuple(layers), tag)
 
 
 @partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
                                    "background", "spec", "emissive_idx",
                                    "no_diffuse", "fast", "collect_stats",
-                                   "interpret"))
+                                   "guide_spec", "fb_prob", "interpret"))
 def trace_path_pallas_impl(origins, dirs, key, *, max_bounces: int,
                            mirror_threshold: float, background, spec,
                            emissive_idx, no_diffuse: bool, fast: bool,
                            collect_stats: bool = True,
+                           guide_spec=None, fb_prob: float = 1.0,
                            interpret: bool = False):
     """Whole-trace Pallas path kernel on a CONCRETE (literal) scene.
 
     Returns ``(rgb[R, 3] f32, PathStats)``; bit-identical to the XLA
     tracers' output in the unguided case (tests/test_pallas_path.py).
+    ``guide_spec`` (from :func:`student_guide_spec`) bakes a distilled
+    student into the kernel: guided diffuse bounces with the fused
+    tracer's draw schedule, MLP inline as literal-weight madd chains.
     Callers go through :func:`trace_path(impl="pallas")`, which handles the
-    concrete-scene requirement and guided fallback.
+    concrete-scene requirement and guide extraction.
     """
     from ..core import vec
     from ..trace.path import PathStats
 
+    guided = guide_spec is not None
     R = origins.shape[0]
     d = vec.normalise_safe(dirs.astype(jnp.float32))
     o32 = origins.astype(jnp.float32)
@@ -317,32 +451,37 @@ def trace_path_pallas_impl(origins, dirs, key, *, max_bounces: int,
     nray = _NRAY
     if not no_diffuse:
         # The fused/lean RNG schedule: per level k_diff,k_fb = split(keys[l]);
-        # cosine uniforms = uniform(k_diff, (R, 2)).  (k_fb's draw only
-        # exists on guided runs, which don't take this impl.)
+        # cosine uniforms = uniform(k_diff, (R, 2)); the fb gate draw
+        # uniform(k_fb, (R,)) exists only on guided runs (fused parity).
         keys = jax.random.split(key, max_bounces)
         for lvl in range(max_bounces):
-            k_diff, _k_fb = jax.random.split(keys[lvl])
+            k_diff, k_fb = jax.random.split(keys[lvl])
             u = jax.random.uniform(k_diff, (R, 2), jnp.float32)
             comps.append(lay(u[:, 0]))
             comps.append(lay(u[:, 1]))
-        nray = _NRAY + 2 * max_bounces
+            if guided:
+                comps.append(lay(jax.random.uniform(k_fb, (R,),
+                                                    jnp.float32)))
+        nray = _NRAY + (3 if guided else 2) * max_bounces
 
     rays = jnp.concatenate(comps, axis=1).reshape(grid_n * nray * ROWS, 128)
 
+    nout = _NOUT + (2 if guided else 0)
     out = pl.pallas_call(
         partial(_kernel, spec, emissive_idx, max_bounces, mirror_threshold,
-                no_diffuse, fast, tuple(float(b) for b in background)),
+                no_diffuse, fast, tuple(float(b) for b in background),
+                guide_spec, fb_prob),
         grid=(grid_n,),
         in_specs=[pl.BlockSpec((nray * ROWS, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_NOUT * ROWS, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((nout * ROWS, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid_n * _NOUT * ROWS, 128),
+        out_shape=jax.ShapeDtypeStruct((grid_n * nout * ROWS, 128),
                                        jnp.float32),
         interpret=interpret,
     )(rays)
 
-    out = out.reshape(grid_n, _NOUT, ROWS * 128)
+    out = out.reshape(grid_n, nout, ROWS * 128)
 
     def un(i):
         return out[:, i, :].reshape(Rp)[:R]
@@ -358,7 +497,8 @@ def trace_path_pallas_impl(origins, dirs, key, *, max_bounces: int,
             total_intersections=jnp.sum(un(4).astype(jnp.int32)),
             light_hits=jnp.sum(un(5).astype(jnp.int32)),
             small_light_hits=jnp.sum(un(6).astype(jnp.int32)),
-            fb_used=z, fb_success=z)
+            fb_used=(jnp.sum(un(7).astype(jnp.int32)) if guided else z),
+            fb_success=(jnp.sum(un(8).astype(jnp.int32)) if guided else z))
     else:
         z = jnp.zeros((), jnp.int32)
         stats = PathStats(z, z, z, z, z, z)

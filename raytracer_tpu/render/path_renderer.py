@@ -135,14 +135,15 @@ def _render_path_lean_jit(scene, key, *, g_params, width, height, spp,
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
                                    "mirror_threshold", "fov", "collect_stats",
                                    "emissive_idx", "no_diffuse", "fast",
-                                   "spec", "background", "interpret"))
+                                   "spec", "background", "guide_spec",
+                                   "fb_prob", "interpret"))
 def _render_path_pallas_jit(key, *, width, height, spp, max_bounces, fov,
                             camera_position, mirror_threshold, background,
                             collect_stats, emissive_idx, no_diffuse, fast,
-                            spec, interpret):
+                            spec, guide_spec=None, fb_prob=1.0, interpret):
     """ONE dispatch: camera bundle → whole-trace Pallas kernel → assembly
-    (core/pallas_path.py; unguided, concrete scene — the router in
-    render_path enforces both)."""
+    (core/pallas_path.py; concrete scene; optional baked student guide —
+    the router in render_path enforces/extracts both)."""
     from ..core.pallas_path import trace_path_pallas_impl
     k_jit, k_trace = jax.random.split(key)
     origins, dirs = _camera_bundle(
@@ -152,7 +153,8 @@ def _render_path_pallas_jit(key, *, width, height, spp, max_bounces, fov,
         origins, dirs, k_trace, max_bounces=max_bounces,
         mirror_threshold=mirror_threshold, background=background,
         spec=spec, emissive_idx=emissive_idx, no_diffuse=no_diffuse,
-        fast=fast, collect_stats=collect_stats, interpret=interpret)
+        fast=fast, collect_stats=collect_stats, guide_spec=guide_spec,
+        fb_prob=fb_prob, interpret=interpret)
     img = _assemble(rgb, spp=spp, height=height, width=width)
     return img, stats
 
@@ -261,22 +263,29 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
         if spp_chunk is not None:
             raise ValueError("impl='pallas' traces the full wavefront "
                              "in-kernel; spp_chunk applies to impl='fused'")
+        from ..core.pallas_path import student_guide_spec
+        gspec = None
         if guide_fn is not None:
-            raise ValueError("impl='pallas' does not support guide_fn; use "
-                             "impl='fused'/'lean' for guided rendering")
+            gspec = student_guide_spec(guide_fn)
+            if gspec is None:
+                raise ValueError(
+                    "impl='pallas' supports distilled-student guides only "
+                    "(DistilledGuide.as_guide_fn); full agents use "
+                    "impl='fused'/'lean'")
         spec = scene_spec(scene)
         if spec is None:
             raise ValueError("impl='pallas' requires a concrete scene "
                              "(scene_spec)")
+        no_diff = no_diffuse_possible(scene, mirror_threshold)
         return _render_path_pallas_jit(
             key, width=width, height=height, spp=spp,
             max_bounces=max_bounces, fov=fov, camera_position=cam,
             mirror_threshold=mirror_threshold,
             background=tuple(float(b) for b in background),
             collect_stats=collect_stats,
-            emissive_idx=emissive_indices(scene),
-            no_diffuse=no_diffuse_possible(scene, mirror_threshold),
+            emissive_idx=emissive_indices(scene), no_diffuse=no_diff,
             fast=fast, spec=spec,
+            guide_spec=None if no_diff else gspec, fb_prob=fb_prob,
             interpret=jax.default_backend() != "tpu")
     if spp_chunk is not None and spp_chunk < spp:
         if impl != "fused":

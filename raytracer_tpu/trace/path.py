@@ -241,7 +241,8 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                                   max_bounces=max_bounces,
                                   mirror_threshold=mirror_threshold,
                                   background=background, guide_fn=guide_fn,
-                                  collect_stats=collect_stats, fast=fast)
+                                  collect_stats=collect_stats, fast=fast,
+                                  fb_prob=fb_prob)
     if impl != "fused":
         raise ValueError(f"unknown impl {impl!r}")
     return _trace_path_fused(scene, origins, dirs, key,
@@ -254,26 +255,33 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
 
 def _trace_path_pallas(scene, origins, dirs, key, *, max_bounces,
                        mirror_threshold, background, guide_fn,
-                       collect_stats, fast):
-    """Whole-trace Pallas kernel (core/pallas_path.py): unguided tracing on
-    a CONCRETE scene only — the kernel bakes the sphere table as literals
-    and has no policy-forward plane.  Guided / traced-scene configs use
-    the XLA impls."""
+                       collect_stats, fast, fb_prob=1.0):
+    """Whole-trace Pallas kernel (core/pallas_path.py): CONCRETE scenes
+    only — the kernel bakes the sphere table as literals.  A distilled
+    STUDENT guide is baked in as literal-weight madd chains
+    (student_guide_spec); full agents keep the XLA impls (their 512-wide
+    forward belongs on the MXU)."""
+    from ..core.pallas_path import student_guide_spec, trace_path_pallas_impl
+    gspec = None
     if guide_fn is not None:
-        raise ValueError("impl='pallas' does not support guide_fn; use "
-                         "impl='fused'/'lean' for guided tracing")
+        gspec = student_guide_spec(guide_fn)
+        if gspec is None:
+            raise ValueError(
+                "impl='pallas' supports distilled-student guides only "
+                "(DistilledGuide.as_guide_fn); full agents use "
+                "impl='fused'/'lean'")
     spec = scene_spec(scene)
     if spec is None:
         raise ValueError("impl='pallas' requires a concrete scene "
                          "(scene_spec); traced scenes use the XLA impls")
-    from ..core.pallas_path import trace_path_pallas_impl
+    no_diff = no_diffuse_possible(scene, mirror_threshold)
     return trace_path_pallas_impl(
         origins, dirs, key, max_bounces=max_bounces,
         mirror_threshold=mirror_threshold,
         background=tuple(float(b) for b in background), spec=spec,
-        emissive_idx=emissive_indices(scene),
-        no_diffuse=no_diffuse_possible(scene, mirror_threshold),
+        emissive_idx=emissive_indices(scene), no_diffuse=no_diff,
         fast=fast, collect_stats=collect_stats,
+        guide_spec=None if no_diff else gspec, fb_prob=fb_prob,
         interpret=jax.default_backend() != "tpu")
 
 

@@ -1,15 +1,21 @@
-"""Regenerate models/fb_multi_scene_training_report.json with MEASURED
-agent_stats (VERDICT r4 item 4): the shipped artifact predates the
-FBResearchAgent.get_stats hooks and still carries structural zeros.
+"""Regenerate the multi-scene training artifact PAIR with MEASURED
+agent_stats (VERDICT r4 item 4): the r3-shipped report predates the
+FBResearchAgent.get_stats hooks and carries structural zeros.
 
-Reproduces the shipping recipe exactly (commit 485cb31: train-multi
---scenes 100 --steps 150, seed 0, guide-prob curriculum 0.0/0.25/0.5) with
-``probe_every=20`` added — render probes use their own fixed jax keys and
-only *record* scores (fb/trainer.py render_probe), so the training RNG
-stream and therefore the final weights are unchanged; this script ASSERTS
-the retrained params match the shipped ``fb_multi_scene_trained.npz``
-bit-for-bit before writing the report, so report and model stay one
-artifact family.
+Measured provenance facts (this script's --no-write runs, 2026-08-21):
+re-running the shipping recipe (commit 485cb31: 100 scenes, 150
+episodes/scene, seed 0, guide-prob curriculum 0.0/0.25/0.5) at HEAD does
+NOT bit-reproduce the r3 weights — with OR without probes — i.e. trainer
+code drift since r3 changed the RNG/update stream.  A report regenerated
+in place would therefore mis-describe the shipped model.  Resolution:
+ship the newly trained model + its report TOGETHER as the primary
+``fb_multi_scene_trained.npz`` / ``fb_multi_scene_training_report.json``
+pair, and preserve the r3 weights as ``fb_multi_scene_trained_r3.npz``
+(the model the r3/r4 held-out + flat-probe artifacts describe).
+
+``probe_every=20`` adds held-out render probes so the generalization
+stats are measured (probes use their own fixed jax keys and only record
+scores).
 
 Usage: python scripts/regen_multi_report.py [--no-write]
 """
@@ -39,7 +45,7 @@ def main():
     tr = MultiSceneFBTrainer(num_training_scenes=100, seed=0,
                              output_dir=args.workdir, guide_prob=0.0,
                              config=FBConfig())
-    tr.probe_every = 20
+    tr.probe_every = int(os.environ.get("PROBE_EVERY", "20")) or None
     report = None
     for n, gp in ((25, 0.0), (25, 0.25), (50, 0.5)):
         tr.guide_prob = gp
@@ -67,15 +73,19 @@ def main():
     print(f"measured-stats checks pass: {ok}")
     if args.no_write:
         return
-    if not same:
-        print("NOT writing report: weights diverged from the shipped model "
-              "— the regenerated stats would describe a different agent. "
-              "Ship model+report together or investigate.")
+    if not ok:
+        print("NOT shipping: measured stats incomplete")
         sys.exit(1)
+    import shutil
+    r3 = os.path.join(repo, "models", "fb_multi_scene_trained_r3.npz")
+    if not same and not os.path.exists(r3):
+        shutil.copy2(shipped, r3)
+        print(f"preserved r3 weights → {r3}")
+    shutil.copy2(tmp, shipped)
     out = os.path.join(repo, "models", "fb_multi_scene_training_report.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
-    print(f"wrote {out}")
+    print(f"wrote {out} and {shipped}")
 
 
 if __name__ == "__main__":

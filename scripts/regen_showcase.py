@@ -24,15 +24,22 @@ SHOW = REPO / "showcase"
 
 # name → (scene, model, kwargs)
 CONFIGS = {
+    # Round-5 honesty rule: published speedups put BOTH sides on their
+    # best implementation — traditional on the whole-trace Pallas kernel
+    # (core/pallas_path.py), guided on the fused XLA tracer (the guided
+    # path's best; no guided Pallas kernel), best-of-5 timing.
     "chandelier_comparison_trained": (
         "chandelier", "fb_chandelier_distilled.npz",
-        dict(width=200, height=100, samples_per_pixel=8)),
+        dict(width=200, height=100, samples_per_pixel=8,
+             traditional_impl="pallas", fb_impl="fused", timing_iters=5)),
     "chandelier_2to1_specialist": (
         "chandelier", "fb_chandelier_distilled_2to1.npz",
-        dict(width=200, height=100, samples_per_pixel=8)),
+        dict(width=200, height=100, samples_per_pixel=8,
+             traditional_impl="pallas", fb_impl="fused", timing_iters=5)),
     "chandelier_deployment_800x600": (
         "chandelier", "fb_chandelier_distilled.npz",
-        dict(width=800, height=600, samples_per_pixel=8)),
+        dict(width=800, height=600, samples_per_pixel=8,
+             traditional_impl="pallas", fb_impl="fused", timing_iters=5)),
     "chandelier_highspp_quality": (
         "chandelier", "fb_chandelier_distilled.npz",
         dict(width=400, height=300, samples_per_pixel=32, spp_chunk=8,

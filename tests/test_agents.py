@@ -141,3 +141,21 @@ def test_curriculum_schedule_and_transfer():
                                             minibatches=2)})
     assert len(results) == 3
     assert trainer is not None
+
+
+def test_sac_train_on_device_ring_buffer():
+    """On-device SAC (VERDICT r4 item 5): device-resident ring replay
+    buffer inside fused rollout+update chunks — trains, updates fire once
+    the filled region passes batch_size, losses finite, policy usable."""
+    env = _env()
+    cfg = SACConfig(batch_envs=16, learning_starts=64, batch_size=32,
+                    buffer_size=2048, hidden=(32, 32))
+    tr = SACTrainer(env, cfg, seed=0)
+    out = tr.train_on_device(total_timesteps=16 * (env.max_bounces + 2) * 8,
+                             iters_per_dispatch=4, updates_per_rollout=2)
+    assert out["dispatches"] == 2
+    assert out["total_steps"] > 0
+    assert out["buffer_capacity"] % (16 * (env.max_bounces + 2)) == 0
+    assert np.isfinite(out["critic_loss"])
+    a = tr.predict(np.zeros(18, np.float32))
+    assert a.shape == (2,)

@@ -238,3 +238,12 @@ def test_shipped_multi_scene_report_schema():
     assert set(r["scene_type_performance"]) == {
         "complex", "cornell", "mirror", "glass", "simple", "many",
         "occluded", "chandelier"}
+    # VERDICT r4 item 4: the SHIPPED artifact carries MEASURED agent
+    # stats, not the structural zeros of the pre-hook era (the reference's
+    # own report has zeros here; ours must not).
+    st = r["training_summary"]["agent_stats"]
+    assert st["adaptability"]["num_scenes_encountered"] == 100
+    assert st["adaptability"]["scene_specific_memory"]
+    assert st["performance"]["avg_variance_reduction"] != 0
+    assert st["generalization"]["avg_generalization_score"] != 0
+    assert r["training_summary"]["render_probe_history"]

@@ -88,3 +88,69 @@ def test_render_path_pallas_matches_fused():
     np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_f))
     assert int(st_p.total_rays) == int(st_f.total_rays)
     assert int(st_p.small_light_hits) == int(st_f.small_light_hits)
+
+
+def test_pallas_guided_one_hot_bit_exact():
+    """In-kernel student MLP parity: with one-hot weight columns the
+    sequential madd chain and XLA's dot produce identical floats (zero
+    terms are skipped / add exactly), so the guided pallas trace must be
+    bit-exact vs fused — including the fb gate draws and fb stats."""
+    import numpy as np
+    from raytracer_tpu.fb.distill import DistilledGuide
+
+    k1 = np.zeros((22, 4), np.float32)
+    for j, c in enumerate((0, 1, 2, 6)):     # px, py, pz, nx — var columns
+        k1[c, j] = 1.0
+    k2 = np.zeros((4, 2), np.float32)
+    k2[0, 0] = 1.0
+    k2[3, 1] = -1.0
+    params = {"Dense_0": {"kernel": jnp.asarray(k1),
+                          "bias": jnp.zeros((4,), jnp.float32)},
+              "Dense_1": {"kernel": jnp.asarray(k2),
+                          "bias": jnp.zeros((2,), jnp.float32)}}
+    guide = DistilledGuide(params, hidden=(4,)).as_guide_fn(dtype=None)
+
+    scene = _lean_scene()
+    o, d = _rays(2600, seed=4)
+    key = jax.random.key(5)
+    kw = dict(max_bounces=4, mirror_threshold=0.9, guide_fn=guide,
+              fb_prob=0.7)
+    rgb_f, st_f = trace_path(scene, o, d, key, impl="fused", **kw)
+    rgb_p, st_p = trace_path(scene, o, d, key, impl="pallas", **kw)
+    np.testing.assert_array_equal(np.asarray(rgb_p), np.asarray(rgb_f))
+    for f in ("total_rays", "total_intersections", "light_hits",
+              "small_light_hits", "fb_used", "fb_success"):
+        assert int(getattr(st_p, f)) == int(getattr(st_f, f)), f
+    assert int(st_p.fb_used) > 0
+
+
+def test_pallas_guided_real_student_statistically_close():
+    """The shipped bf16 student baked into the kernel: not bit-pinned
+    (bf16 sequential accumulation vs the flax dot), but the behaviour
+    must match — finite image, hits within 25% of the fused guided run."""
+    import os
+    import numpy as np
+    import pytest
+    from raytracer_tpu.fb.distill import DistilledGuide
+
+    path = os.path.join(os.path.dirname(__file__), "..", "models",
+                        "fb_chandelier_distilled.npz")
+    if not os.path.exists(path):
+        pytest.skip("student missing")
+    guide = DistilledGuide.load(path).as_guide_fn()
+
+    # Small config: tracing the unrolled in-kernel MLP (≈5k ops/level on
+    # the 29-sphere scene) is minutes-scale on the single-core CPU at
+    # deeper configs; 2 levels exercises gate+MLP+fold against the same
+    # fused reference.
+    scene, _, _, p = library.chandelier_scene()
+    key = jax.random.key(0)
+    kw = dict(width=64, height=40, spp=2, max_bounces=2,
+              camera_position=p["camera_position"], mirror_threshold=0.9,
+              guide_fn=guide, fb_prob=1.0)
+    img_f, st_f = render_path(scene, key, impl="fused", **kw)
+    img_p, st_p = render_path(scene, key, impl="pallas", **kw)
+    assert np.isfinite(np.asarray(img_p)).all()
+    assert int(st_p.fb_used) > 0
+    hf, hp = int(st_f.small_light_hits), int(st_p.small_light_hits)
+    assert hf > 0 and 0.75 <= hp / hf <= 1.33, (hp, hf)
