@@ -25,9 +25,13 @@ bit-identical to the fused scan — same draws, same per-lane op order):
 
 RNG parity: the kernel consumes the SAME uniforms the fused scan draws
 (the lean prologue's per-level ``split``/``uniform`` schedule), passed in
-as an input plane — so sample directions, and therefore images, match the
-XLA tracers bit for bit in the no-guide case (asserted in
-tests/test_pallas_path.py, interpret mode).
+as an input plane.  No-diffuse configs (the chandelier traditional frame)
+are bit-exact vs the XLA tracers in interpret mode (asserted in
+tests/test_pallas_path.py).  Diffuse configs are ulp-close, not
+bit-pinned: Mosaic has no ``acos`` lowering, so cosine sampling uses the
+exact identities cosθ = √u₀ / sinθ = √(1−u₀) instead of the XLA
+sin(arccos(√u₀)) chain (tests pin ≥95% subpixel equality + 2% stats).
+Guided runs at fb_prob=1 keep MLP-mechanism bit-parity (one-hot test).
 
 Compiled-TPU parity bound (measured, /tmp diverge probe 2026-08-21): at
 max_bounces=1 the compiled kernel is bit-exact vs impl="fused" on TPU
@@ -96,9 +100,15 @@ def _reflect3(vx, vy, vz, nx, ny, nz):
     return _normalise3(vx - nx * s, vy - ny * s, vz - nz * s)
 
 
-def _local_to_world(theta, phi, nx, ny, nz):
+def _local_to_world(st, ct, phi, nx, ny, nz):
     # sampling.local_to_world_c, "renderer" convention: |n.z| > 0.9 →
     # tangent = (1,0,0) directly; else cross((0,0,1), n) = (-ny, nx, 0).
+    # Takes (sinθ, cosθ) directly: Mosaic has no acos lowering, so the
+    # cosine-sampling caller passes the algebraic identities
+    # cosθ = √u₀, sinθ = √(1−u₀) — exact math for θ = arccos(√u₀); the
+    # resulting directions differ from the XLA tracers'
+    # sin(arccos(·))/cos(arccos(·)) by ulps (same documented
+    # statistical-equivalence class as the FMA divergence).
     anz = jnp.abs(nz)
     above = anz > 0.9
     zero = jnp.zeros_like(nx)
@@ -112,10 +122,9 @@ def _local_to_world(theta, phi, nx, ny, nz):
     cy = nz * tx - nx * tz
     cz = nx * ty - ny * tx
     bx, by, bz = _normalise3(cx, cy, cz)
-    st = jnp.sin(theta)
     lx = st * jnp.cos(phi)
     ly = st * jnp.sin(phi)
-    lz = jnp.cos(theta)
+    lz = ct
     return _normalise3(lx * tx + ly * bx + lz * nx,
                        lx * ty + ly * by + lz * ny,
                        lx * tz + ly * bz + lz * nz)
@@ -142,14 +151,22 @@ def _student_mlp(var_cols, guide_spec, lvl_frac):
     CONST = {13: 0.0, 14: 0.0, 15: 0.0, 16: lvl_frac, 17: 0.0,
              19: 0.5, 20: 0.5, 21: 0.5}
     layers, gdtype = guide_spec
-    if gdtype == "bfloat16":
+    bf16 = gdtype == "bfloat16"
+    if bf16:
         # The deployed DistilledGuide runs obs+params in bf16 on purpose
         # (fb/distill.py as_guide_fn: the quantisation decorrelates the
         # deterministic policy's aim across spp — measured more hits).
-        # Mirror that: columns and constants in bf16, output back to f32.
+        # Mirror the MXU semantics, not naive bf16 chains: QUANTISE
+        # inputs/weights/constants to bf16 values but multiply-accumulate
+        # in f32 (bf16×bf16 products are exact in f32; the MXU
+        # accumulates in f32), rounding each LAYER's output to bf16 like
+        # the flax Dense chain does.  A first cut accumulated in bf16 —
+        # 64 sequential roundings per unit halved the student's
+        # small-light hits on TPU (measured 47k vs 89k at 800×600).
         import ml_dtypes
         import numpy as _np
-        var_cols = [c.astype(jnp.bfloat16) for c in var_cols]
+        var_cols = [c.astype(jnp.bfloat16).astype(jnp.float32)
+                    for c in var_cols]
         cast = lambda v: float(_np.asarray(v).astype(ml_dtypes.bfloat16))
         CONST = {k: cast(v) for k, v in CONST.items()}
         layers = tuple(
@@ -175,6 +192,9 @@ def _student_mlp(var_cols, guide_spec, lvl_frac):
             acc = bias if acc is None else acc + bias
             if li < len(layers) - 1:
                 acc = jnp.maximum(acc, 0.0)
+            if bf16 and hasattr(acc, "astype"):
+                # Per-layer bf16 rounding (flax Dense output dtype).
+                acc = acc.astype(jnp.bfloat16).astype(jnp.float32)
             ys.append(acc)
         x = ys
     return [c.astype(jnp.float32) if hasattr(c, "astype") else
@@ -303,9 +323,11 @@ def _kernel(spec, emissive_idx, max_bounces, mirror_threshold, no_diffuse,
             nu = 3 if guided else 2
             u0 = row(_NRAY + nu * lvl)
             u1 = row(_NRAY + nu * lvl + 1)
-            theta = jnp.arccos(jnp.sqrt(u0))
+            # θ = arccos(√u₀) via identities (no acos in Mosaic).
+            ct = jnp.sqrt(u0)
+            st = jnp.sqrt(jnp.maximum(1.0 - u0, 0.0))
             phi = 2.0 * jnp.pi * u1
-            dfx, dfy, dfz = _local_to_world(theta, phi, nx, ny, nz)
+            dfx, dfy, dfz = _local_to_world(st, ct, phi, nx, ny, nz)
             if guided:
                 ufb = row(_NRAY + nu * lvl + 2)
                 use_fb = diffuse & (ufb < fb_prob)
@@ -318,7 +340,9 @@ def _kernel(spec, emissive_idx, max_bounces, mirror_threshold, no_diffuse,
                 # op order matches sampling.fb_action_to_direction_c
                 gtheta = (a0 + 1.0) * jnp.pi / 4.0
                 gphi = a1 * jnp.pi
-                gx, gy, gz = _local_to_world(gtheta, gphi, nx, ny, nz)
+                gx, gy, gz = _local_to_world(jnp.sin(gtheta),
+                                             jnp.cos(gtheta), gphi,
+                                             nx, ny, nz)
                 dfx = jnp.where(use_fb, gx, dfx)
                 dfy = jnp.where(use_fb, gy, dfy)
                 dfz = jnp.where(use_fb, gz, dfz)

@@ -55,15 +55,33 @@ def test_pallas_no_diffuse_bit_exact():
                   max_bounces=4, mirror_threshold=0.0)
 
 
-def test_pallas_diffuse_bit_exact():
+def _assert_close(scene, o, d, key, min_equal=0.95, **kw):
+    """Diffuse-path closeness: Mosaic has no acos, so the kernel samples
+    cosθ = √u₀ / sinθ = √(1−u₀) directly — exact math for the same θ, but
+    ulp-level numeric divergence from the XLA sin(arccos(·)) chain, which
+    bounce chaos amplifies on a minority of lanes (the same documented
+    class as the compiled-TPU FMA divergence).  The integer-valued images
+    must agree on ≥``min_equal`` of subpixels and the hit statistics
+    within 2%."""
+    rgb_f, st_f = trace_path(scene, o, d, key, impl="fused", **kw)
+    rgb_p, st_p = trace_path(scene, o, d, key, impl="pallas", **kw)
+    f, q = np.asarray(rgb_f), np.asarray(rgb_p)
+    assert np.isfinite(q).all()
+    assert (f == q).mean() >= min_equal, (f == q).mean()
+    for fld in ("total_rays", "total_intersections", "light_hits"):
+        a, b = int(getattr(st_f, fld)), int(getattr(st_p, fld))
+        assert abs(a - b) <= max(0.02 * a, 2), (fld, a, b)
+
+
+def test_pallas_diffuse_close():
     o, d = _rays(3601, seed=1)
-    _assert_equal(_lean_scene(), o, d, jax.random.key(7),
+    _assert_close(_lean_scene(), o, d, jax.random.key(7),
                   max_bounces=4, mirror_threshold=0.9)
 
 
-def test_pallas_fast_mode_bit_exact_vs_fused_fast():
+def test_pallas_fast_mode_close():
     o, d = _rays(777, seed=2)
-    _assert_equal(_lean_scene(), o, d, jax.random.key(11),
+    _assert_close(_lean_scene(), o, d, jax.random.key(11),
                   max_bounces=3, mirror_threshold=0.9, precision="fast")
 
 
@@ -110,11 +128,15 @@ def test_pallas_guided_one_hot_bit_exact():
                           "bias": jnp.zeros((2,), jnp.float32)}}
     guide = DistilledGuide(params, hidden=(4,)).as_guide_fn(dtype=None)
 
+    # fb_prob=1.0: every diffuse lane takes the guided direction, so the
+    # cosine sampler (whose acos-free identity form is only ulp-close to
+    # the XLA chain) is computed but never selected — the MLP mechanism's
+    # bit-parity is tested in isolation.
     scene = _lean_scene()
     o, d = _rays(2600, seed=4)
     key = jax.random.key(5)
     kw = dict(max_bounces=4, mirror_threshold=0.9, guide_fn=guide,
-              fb_prob=0.7)
+              fb_prob=1.0)
     rgb_f, st_f = trace_path(scene, o, d, key, impl="fused", **kw)
     rgb_p, st_p = trace_path(scene, o, d, key, impl="pallas", **kw)
     np.testing.assert_array_equal(np.asarray(rgb_p), np.asarray(rgb_f))
@@ -124,33 +146,36 @@ def test_pallas_guided_one_hot_bit_exact():
     assert int(st_p.fb_used) > 0
 
 
-def test_pallas_guided_real_student_statistically_close():
-    """The shipped bf16 student baked into the kernel: not bit-pinned
-    (bf16 sequential accumulation vs the flax dot), but the behaviour
-    must match — finite image, hits within 25% of the fused guided run."""
-    import os
+def test_pallas_guided_bf16_student_statistically_close():
+    """The bf16 student path baked into the kernel: not bit-pinned (bf16
+    sequential accumulation vs the flax dot), but behaviour must match
+    the fused guided run statistically.  Uses a small random student —
+    tracing the SHIPPED 64×64 student's ~5k unrolled ops/level takes
+    minutes-per-level on this single-core CPU (measured >16 min at 2
+    levels); the shipped student's in-kernel behaviour on real TPU is
+    benched instead (bench.py pallas guided lane / STATUS.md)."""
     import numpy as np
-    import pytest
     from raytracer_tpu.fb.distill import DistilledGuide
 
-    path = os.path.join(os.path.dirname(__file__), "..", "models",
-                        "fb_chandelier_distilled.npz")
-    if not os.path.exists(path):
-        pytest.skip("student missing")
-    guide = DistilledGuide.load(path).as_guide_fn()
+    rng = np.random.RandomState(0)
+    params = {"Dense_0": {"kernel": jnp.asarray(
+                              rng.randn(22, 8).astype(np.float32) * 0.4),
+                          "bias": jnp.zeros((8,), jnp.float32)},
+              "Dense_1": {"kernel": jnp.asarray(
+                              rng.randn(8, 2).astype(np.float32) * 0.4),
+                          "bias": jnp.zeros((2,), jnp.float32)}}
+    guide = DistilledGuide(params, hidden=(8,)).as_guide_fn()   # bf16
 
-    # Small config: tracing the unrolled in-kernel MLP (≈5k ops/level on
-    # the 29-sphere scene) is minutes-scale on the single-core CPU at
-    # deeper configs; 2 levels exercises gate+MLP+fold against the same
-    # fused reference.
-    scene, _, _, p = library.chandelier_scene()
-    key = jax.random.key(0)
-    kw = dict(width=64, height=40, spp=2, max_bounces=2,
-              camera_position=p["camera_position"], mirror_threshold=0.9,
-              guide_fn=guide, fb_prob=1.0)
-    img_f, st_f = render_path(scene, key, impl="fused", **kw)
-    img_p, st_p = render_path(scene, key, impl="pallas", **kw)
-    assert np.isfinite(np.asarray(img_p)).all()
+    scene = _lean_scene()
+    o, d = _rays(3000, seed=9)
+    key = jax.random.key(2)
+    kw = dict(max_bounces=3, mirror_threshold=0.9, guide_fn=guide,
+              fb_prob=1.0)
+    rgb_f, st_f = trace_path(scene, o, d, key, impl="fused", **kw)
+    rgb_p, st_p = trace_path(scene, o, d, key, impl="pallas", **kw)
+    f, q = np.asarray(rgb_f), np.asarray(rgb_p)
+    assert np.isfinite(q).all()
     assert int(st_p.fb_used) > 0
-    hf, hp = int(st_f.small_light_hits), int(st_p.small_light_hits)
-    assert hf > 0 and 0.75 <= hp / hf <= 1.33, (hp, hf)
+    assert (f == q).mean() >= 0.9, (f == q).mean()
+    hf, hp = int(st_f.light_hits), int(st_p.light_hits)
+    assert hf > 0 and 0.9 <= hp / max(hf, 1) <= 1.12, (hp, hf)
