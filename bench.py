@@ -320,18 +320,37 @@ def main():
         log(f"traditional 800x600@8spp fast: {fdt*1e3:.1f} ms/frame")
         extra["path_800x600_fast_wall_ms"] = round(fdt * 1e3, 2)
         if dguide is not None:
-            def run_fbd_big(k=key):
+            def run_fbd_big(k=key, impl_="fused", **kw):
                 return render_path(scene, k, width=800, height=600, spp=8,
-                                   max_bounces=MB, spp_chunk=1,
+                                   max_bounces=MB,
                                    camera_position=p["camera_position"],
                                    mirror_threshold=0.9, guide_fn=dguide,
-                                   fb_prob=1.0, impl="fused")
+                                   fb_prob=1.0, impl=impl_, **kw)
 
-            fbdt, (fbimg, fbstats) = time_steady(run_fbd_big)
+            fbdt, (fbimg, fbstats) = time_steady(
+                lambda: run_fbd_big(spp_chunk=1))
             fb_b_rps = int(fbstats.total_rays) / fbdt
             log(f"fb-distilled 800x600@8spp: {fbdt*1e3:.1f} ms/frame, "
                 f"{int(fbstats.total_rays):,} rays, {fb_b_rps/1e6:.2f} Mrays/s")
-            extra["path_800x600_fb_distilled_rays_per_sec"] = round(fb_b_rps, 1)
+            extra["path_800x600_fb_distilled_fused_rays_per_sec"] = round(
+                fb_b_rps, 1)
+            # Guided Pallas kernel (in-kernel baked student, round 5):
+            # measured 241.6 vs fused 400.1 ms at this shape — the best
+            # guided impl at scale; the headline key takes the better.
+            try:
+                gpdt, (gpimg, gpstats) = time_steady(
+                    lambda: run_fbd_big(impl_="pallas"))
+                gp_rps = int(gpstats.total_rays) / gpdt
+                log(f"fb-distilled 800x600@8spp pallas: {gpdt*1e3:.1f} ms, "
+                    f"{gp_rps/1e6:.2f} Mrays/s, "
+                    f"small_hits={int(gpstats.small_light_hits):,}")
+                extra["path_800x600_fb_distilled_pallas_rays_per_sec"] = (
+                    round(gp_rps, 1))
+            except Exception as e:                          # pragma: no cover
+                log(f"guided pallas bench failed: {e!r}")
+                gp_rps = 0.0
+            extra["path_800x600_fb_distilled_rays_per_sec"] = round(
+                max(fb_b_rps, gp_rps), 1)
     except Exception as e:                                  # pragma: no cover
         log(f"800x600 path bench failed: {e!r}")
 

@@ -209,3 +209,21 @@ def test_shipped_tpu_trained_ppo_beats_random():
     assert rl["light_hit_rate"] > rnd["light_hit_rate"]
     assert d["light_hit_z"] >= 3.0
     assert rl["episodes"] >= 1024
+
+
+SAC_TPU_BENCH = (Path(__file__).parents[1] / "models" /
+                 "sac_raytracer_tpu_benchmark.json")
+
+
+@pytest.mark.skipif(not SAC_TPU_BENCH.exists(), reason="artifact missing")
+def test_shipped_tpu_trained_sac_beats_random():
+    """VERDICT r4 item 5 done-bar: the on-device-trained SAC (device ring
+    replay buffer, scripts/sac_ship_tpu.py) beats random on exact
+    light-hit rate at z >= 3 (shipped: 0.1841 vs 0.0967, z=+8.05,
+    2048 episodes, 55 s of TPU training)."""
+    import json
+
+    d = json.loads(SAC_TPU_BENCH.read_text())
+    assert d["rl"]["light_hit_rate"] > d["random"]["light_hit_rate"]
+    assert d["light_hit_z"] >= 3.0
+    assert d["rl"]["episodes"] >= 1024
