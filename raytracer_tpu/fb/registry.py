@@ -69,10 +69,10 @@ REGISTRY = {
     # glass_gallery student 1.51x random (z=3.58) vs teacher 0.82x
     # (models/fb_glass_gallery_held_out.json); simple_challenging
     # student 3.33x (z=2.75) on a signal-starved type (base rate ~2e-4;
-    # models/fb_simple_held_out.json); mirror_maze student 1.47x
-    # (z=1.94, borderline p~0.05 — registered as measured
-    # best-available, the borderline recorded in
-    # models/fb_mirror_maze_held_out.json).
+    # models/fb_simple_held_out.json); mirror_maze student 1.62x over
+    # THREE independent seeds (combined 210 vs 130 hits / 147k episodes,
+    # z=4.34 — the r4 single-seed z=1.94 borderline resolved upward;
+    # models/fb_mirror_maze_held_out.json "multi_seed").
     ("glass_gallery", "wide"): "fb_glass_gallery_distilled.npz",
     ("glass_gallery", "standard"): "fb_glass_gallery_distilled.npz",
     ("simple_challenging", "wide"): "fb_simple_distilled.npz",

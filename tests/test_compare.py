@@ -18,7 +18,8 @@ def test_run_comparison_schema(tmp_path):
                            width=32, height=16, samples_per_pixel=2,
                            max_bounces=3, out_dir=tmp_path / "cmp",
                            save_png=False)
-    assert set(stats) == {"traditional", "fb", "comparison"}
+    assert set(stats) == {"traditional", "fb", "comparison",
+                          "implementations"}
     for side in ("traditional", "fb"):
         s = stats[side]
         assert s["total_rays"] > 0
@@ -45,7 +46,8 @@ def test_run_comparison_spp_chunk(tmp_path):
     plain = run_comparison(scene, out_dir=tmp_path / "a", **kw)
     chunked = run_comparison(scene, out_dir=tmp_path / "b", spp_chunk=2,
                              **kw)
-    assert set(chunked) == {"traditional", "fb", "comparison"}
+    assert set(chunked) == {"traditional", "fb", "comparison",
+                            "implementations"}
     n = 24 * 12 * 4
     ct = chunked["traditional"]["total_rays"]
     assert n <= ct <= n * 4

@@ -436,3 +436,10 @@ def test_registry_covers_all_eight_template_types():
         assert d["student"]["ratio"] > 1.3, art
         assert d["student"]["z"] >= min_z, art
         assert (root / Path(d["student"]["model"]).name).exists(), art
+
+    # mirror_maze's single-seed z=1.94 was the r4 borderline (ADVICE r4);
+    # round 5 added two more independent seeds — the shipped routing now
+    # rests on a combined z >= 3 (measured 4.34 over 147k episodes).
+    mm = json.loads((root / "fb_mirror_maze_held_out.json").read_text())
+    assert mm["multi_seed"]["combined"]["z"] >= 3.0
+    assert len(mm["multi_seed"]["per_seed_hits"]) >= 3
