@@ -536,23 +536,36 @@ def main():
             # live set of the 10-bounce refract walk exceeds HBM at 4M rays.
             chunk = 1 << 20 if h2 * w2 > (1 << 21) else None
 
-            def run_scene(s2=s2, g2=g2, p2=p2, o2=o2, d2=d2, h2=h2, w2=w2,
-                          pr=pr, chunk=chunk):
+            def run_scene(impl="xla", s2=s2, g2=g2, p2=p2, o2=o2, d2=d2,
+                          h2=h2, w2=w2, pr=pr, chunk=chunk):
                 return render_whitted(s2, g2, p2, o2, d2, h2, w2,
                                       max_bounces=pr["max_bounces"],
                                       background=pr["background"],
                                       miss_colour=pr.get("sky_colour"),
-                                      chunk_rays=chunk)
+                                      chunk_rays=chunk, impl=impl)
 
             t0 = time.time()
             jax.block_until_ready(run_scene())
             log(f"{name} compile+run: {time.time() - t0:.1f}s")
             sdt, _ = time_steady(run_scene, iters=3)
-            rps = h2 * w2 / sdt
-            log(f"{name} {w2}x{h2} whitted: {sdt*1e3:.1f} ms/frame "
+            extra[f"{name}_xla_ms"] = round(sdt * 1e3, 2)
+            # Whole-trace Pallas whitted kernel: at the mega shapes the
+            # VMEM-resident walk wins (round 5 A/B: planets2 73.4→50.4 ms,
+            # marbles4 30.7→28.3 — the 800×600 "XLA wins" verdict was a
+            # dispatch-floor-dominated shape).  Headline = better of two.
+            pdt = float("inf")
+            try:
+                pdt, _ = time_steady(lambda: run_scene("pallas"), iters=3)
+                extra[f"{name}_pallas_ms"] = round(pdt * 1e3, 2)
+            except Exception as e:                          # pragma: no cover
+                log(f"{name} pallas bench failed: {e!r}")
+            best = min(sdt, pdt)
+            rps = h2 * w2 / best
+            log(f"{name} {w2}x{h2} whitted: xla {sdt*1e3:.1f} / pallas "
+                f"{pdt*1e3:.1f} ms → {best*1e3:.1f} ms/frame "
                 f"({rps/1e6:.2f} Mrays/s primary)")
             extra[f"{name}_primary_rays_per_sec"] = round(rps, 1)
-            extra[f"{name}_ms"] = round(sdt * 1e3, 2)
+            extra[f"{name}_ms"] = round(best * 1e3, 2)
         except Exception as e:                              # pragma: no cover
             log(f"{name} bench failed: {e!r}")
 

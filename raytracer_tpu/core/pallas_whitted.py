@@ -28,9 +28,17 @@ same session — bench.py publishes both every run):
   STATUS.md "per-dispatch floor").
 * device compute, amortized over an in-program chain: XLA ~1.1 ms vs
   Pallas ~1.7 ms — XLA's loop fusions win once the layout is
-  componentized, so the XLA tracer stays the default and this kernel
-  ships as the equality-tested alternative backend
+  componentized, so the XLA tracer stays the default at this shape and
+  the kernel ships as the equality-tested alternative backend
   (``render_whitted(..., impl="pallas")``).
+
+Round-5 addendum: that verdict is SHAPE-DEPENDENT.  At the notebook mega
+shapes the VMEM-resident walk wins the wall-clock — planets2 2001×2001
+@10 bounces: XLA 73.4 ms → Pallas **50.4 ms**; marbles4 801×801: 30.7 →
+28.3 (same-session best-of-5) — the 800×600 comparison was
+dispatch-floor-dominated (device ~1 ms either way).  bench.py measures
+both per scene and publishes the better (``{planets2,marbles4}_ms``),
+matching the whole-trace PATH kernel's result (core/pallas_path.py).
 
 Reference hot loop being replaced either way: ~58 s of per-pixel Python
 recursion (RL/ray.py:160-231).
