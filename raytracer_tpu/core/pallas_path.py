@@ -56,9 +56,18 @@ traced-scene configs fall back to the XLA impls at the trace_path router.
 
 Mosaic constraints observed (see pallas_whitted.py): levels and the sweep
 are Python-unrolled (bool masks inside a level are fine; no i1 loop
-carries exist because there are no loops).  Guided (FB) tracing stays on
-the XLA impls — the student forward is a dense matmul already well-served
-by XLA, and the uniforms plane would grow a third channel.
+carries exist because there are no loops).
+
+Guided tracing: a distilled STUDENT bakes into the kernel as
+literal-weight madd chains (``student_guide_spec`` / ``_student_mlp``;
+fb-gate uniforms as a third input channel) — measured 241.6 ms vs the
+XLA fused guided tracer's 400.1 at 800×600@8spp with full hit parity.
+Full (512-wide) agents keep the XLA impls.  The level-split alternative
+(``run_level_kernel`` + trace/path.py ``impl="hybrid"``: per-level
+kernels with the guide as an XLA/MXU matmul between them) measured 390
+ms — a recorded negative (the inter-kernel HBM/layout glue costs what
+the in-kernel MLP costs); it ships as the equality-tested
+split-architecture reference.
 """
 from __future__ import annotations
 
@@ -527,3 +536,186 @@ def trace_path_pallas_impl(origins, dirs, key, *, max_bounces: int,
         z = jnp.zeros((), jnp.int32)
         stats = PathStats(z, z, z, z, z, z)
     return rgb, stats
+
+
+# ---------------------------------------------------------------------------
+# Level-split hybrid: ONE jit program where each bounce level runs as a
+# Pallas level kernel (sweep + direct lighting + bounce-direction
+# candidates in VMEM) and the guide network runs BETWEEN kernels as a
+# plain XLA matmul on the MXU — the measured answer to the in-kernel
+# MLP's cost (the 64×64 student's elementwise madds were ~78% of the
+# whole-trace guided kernel; on the MXU the forward is ~free).  Records
+# stream through HBM between levels (~0.75 ms/level at this shape), the
+# fold runs in XLA.  RNG schedule matches the fused tracer (same
+# split/uniform draws, passed into the kernel); cosine θ uses the same
+# acos-free identities as the whole-trace kernel, so images are
+# ulp-close to fused, not bit-pinned (the no-guide hybrid is pointless —
+# use impl="pallas" — so this path always carries a guide).
+# ---------------------------------------------------------------------------
+
+# Level-kernel output rows: emis cont miss | ar ag ab | dr dg db |
+# nox noy noz | rlx rly rlz | cfx cfy cfz | nx ny nz | refl transp emit
+# ior sid | found small mirror | px py pz   (32 groups)
+_NLVL_OUT = 32
+
+
+def _level_kernel(spec, emissive_idx, mirror_threshold, fast,
+                  rays_ref, out_ref):
+    f32 = jnp.float32
+
+    def row(i):
+        return rays_ref[i * ROWS:(i + 1) * ROWS, :]
+
+    ox, oy, oz = row(0), row(1), row(2)
+    dx, dy, dz = row(3), row(4), row(5)
+    running = row(6) > 0.5
+    u0, u1 = row(7), row(8)
+    shape = ox.shape
+    zero = jnp.zeros(shape, f32)
+
+    em_flags = [r[9] > 0 for r in spec]
+    sm_flags = [e and r[3] < 0.5 for e, r in zip(em_flags, spec)]
+    mr_flags = [r[7] > mirror_threshold for r in spec]
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+
+    best_m = jnp.full(shape, big, f32)
+    best_t = jnp.full(shape, big, f32)
+    bcx, bcy, bcz = zero, zero, zero
+    e_ar, e_ag, e_ab = zero, zero, zero
+    e_em = jnp.zeros(shape, bool)
+    e_sm = jnp.zeros(shape, bool)
+    e_mr = jnp.zeros(shape, bool)
+    e_id = jnp.full(shape, -1.0, f32)
+    e_rf, e_tr, e_et, e_io, e_sd = zero, zero, zero, zero, zero
+    found = jnp.zeros(shape, bool)
+    for s, r_ in enumerate(spec):
+        cx, cy, cz, rr = r_[0], r_[1], r_[2], r_[3]
+        lx, ly, lz = cx - ox, cy - oy, cz - oz
+        tca = lx * dx + ly * dy + lz * dz
+        d2 = jnp.maximum(lx * lx + ly * ly + lz * lz - tca * tca, 0.0)
+        thc = jnp.sqrt(jnp.maximum(rr * rr - d2, 0.0))
+        t = tca - thc
+        inside = (d2 <= rr * rr) if fast else (jnp.sqrt(d2) <= rr)
+        valid = (tca >= 0.0) & inside
+        m = jnp.abs(t)
+        better = valid & (m < best_m)
+        best_m = jnp.where(better, m, best_m)
+        best_t = jnp.where(better, t, best_t)
+        bcx = jnp.where(better, cx, bcx)
+        bcy = jnp.where(better, cy, bcy)
+        bcz = jnp.where(better, cz, bcz)
+        e_ar = jnp.where(better, r_[4], e_ar)
+        e_ag = jnp.where(better, r_[5], e_ag)
+        e_ab = jnp.where(better, r_[6], e_ab)
+        if em_flags[s]:
+            e_em = e_em | better
+        else:
+            e_em = e_em & ~better
+        if sm_flags[s]:
+            e_sm = e_sm | better
+        else:
+            e_sm = e_sm & ~better
+        if mr_flags[s]:
+            e_mr = e_mr | better
+        else:
+            e_mr = e_mr & ~better
+        e_id = jnp.where(better, f32(s), e_id)
+        e_rf = jnp.where(better, r_[7], e_rf)
+        e_tr = jnp.where(better, r_[8], e_tr)
+        e_et = jnp.where(better, r_[9], e_et)
+        e_io = jnp.where(better, r_[10], e_io)
+        e_sd = jnp.where(better, float(r_[11]), e_sd)
+        found = found | valid
+    px = ox + dx * best_t
+    py = oy + dy * best_t
+    pz = oz + dz * best_t
+    nx, ny, nz = _normalise3(px - bcx, py - bcy, pz - bcz)
+
+    found = running & found
+    emis = found & e_em
+    mirror = found & ~emis & e_mr
+    diffuse = found & ~emis & ~mirror
+    cont = mirror | diffuse
+    miss = running & ~emis & ~cont
+
+    dr, dg, db = zero, zero, zero
+    for s in emissive_idx:
+        r_ = spec[s]
+        tx_, ty_, tz_ = r_[0] - px, r_[1] - py, r_[2] - pz
+        d2 = tx_ * tx_ + ty_ * ty_ + tz_ * tz_
+        if fast:
+            inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+            ldotn = tx_ * nx + ty_ * ny + tz_ * nz
+            w = jnp.maximum(ldotn * inv, 0.0) * (inv * inv) * 0.3
+        else:
+            dist = jnp.sqrt(d2)
+            den = jnp.maximum(dist, 1e-20)
+            cosang = (tx_ / den) * nx + (ty_ / den) * ny + (tz_ / den) * nz
+            w = (jnp.maximum(cosang, 0.0)
+                 / jnp.maximum(dist * dist, 1e-30) * 0.3)
+        w = jnp.where(e_id != f32(s), w, 0.0)
+        dr = dr + jnp.trunc(w * r_[4])
+        dg = dg + jnp.trunc(w * r_[5])
+        db = db + jnp.trunc(w * r_[6])
+
+    rlx, rly, rlz = _reflect3(dx, dy, dz, nx, ny, nz)
+    ct = jnp.sqrt(u0)
+    st = jnp.sqrt(jnp.maximum(1.0 - u0, 0.0))
+    phi = 2.0 * jnp.pi * u1
+    cfx, cfy, cfz = _local_to_world(st, ct, phi, nx, ny, nz)
+
+    def wrow(i, v):
+        out_ref[i * ROWS:(i + 1) * ROWS, :] = v
+
+    for i, v in enumerate((
+            emis.astype(jnp.float32), cont.astype(jnp.float32),
+            miss.astype(jnp.float32), e_ar, e_ag, e_ab, dr, dg, db,
+            px + nx * 0.001, py + ny * 0.001, pz + nz * 0.001,
+            rlx, rly, rlz, cfx, cfy, cfz, nx, ny, nz,
+            e_rf, e_tr, e_et, e_io, e_sd,
+            found.astype(jnp.float32), e_sm.astype(jnp.float32),
+            mirror.astype(jnp.float32), px, py, pz)):
+        wrow(i, v)
+
+
+@partial(jax.jit, static_argnames=("spec", "emissive_idx",
+                                   "mirror_threshold", "fast", "interpret"))
+def run_level_kernel(ox, oy, oz, dx, dy, dz, running, u0, u1, *, spec,
+                     emissive_idx, mirror_threshold, fast,
+                     interpret=False):
+    """One bounce level through the Pallas kernel on [R] component
+    arrays; returns a dict of [R] outputs (see _NLVL_OUT layout).  Hot
+    path of trace_path(impl="hybrid")."""
+    R = ox.shape[0]
+    n_pad = (-R) % TILE
+    Rp = R + n_pad
+    grid_n = Rp // TILE
+
+    def lay(a):
+        return jnp.pad(a.astype(jnp.float32), (0, n_pad)).reshape(
+            grid_n, ROWS, 128)
+
+    comps = [lay(ox), lay(oy), lay(oz), lay(dx), lay(dy), lay(dz),
+             lay(running.astype(jnp.float32)), lay(u0), lay(u1)]
+    rays = jnp.concatenate(comps, axis=1).reshape(grid_n * 9 * ROWS, 128)
+    out = pl.pallas_call(
+        partial(_level_kernel, spec, emissive_idx, mirror_threshold, fast),
+        grid=(grid_n,),
+        in_specs=[pl.BlockSpec((9 * ROWS, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_NLVL_OUT * ROWS, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_n * _NLVL_OUT * ROWS, 128),
+                                       jnp.float32),
+        interpret=interpret,
+    )(rays)
+    out = out.reshape(grid_n, _NLVL_OUT, ROWS * 128)
+
+    def un(i):
+        return out[:, i, :].reshape(Rp)[:R]
+
+    names = ("emis", "cont", "miss", "ar", "ag", "ab", "dr", "dg", "db",
+             "nox", "noy", "noz", "rlx", "rly", "rlz", "cfx", "cfy", "cfz",
+             "nx", "ny", "nz", "refl", "transp", "emitf", "ior", "sid",
+             "found", "small", "mirror", "px", "py", "pz")
+    return {n: un(i) for i, n in enumerate(names)}

@@ -159,6 +159,35 @@ def _render_path_pallas_jit(key, *, width, height, spp, max_bounces, fov,
     return img, stats
 
 
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
+                                   "mirror_threshold", "fov", "collect_stats",
+                                   "emissive_idx", "no_diffuse", "fast",
+                                   "spec", "background", "guide_fn",
+                                   "g_apply", "g_dtype", "interpret"))
+def _render_path_hybrid_jit(key, g_params, *, width, height, spp,
+                            max_bounces, fov, camera_position,
+                            mirror_threshold, background, collect_stats,
+                            emissive_idx, no_diffuse, fast, spec,
+                            guide_fn=None, g_apply=None, g_dtype=None,
+                            fb_prob=1.0, interpret=False):
+    """ONE dispatch: camera bundle → level-split hybrid (Pallas level
+    kernels + MXU guide between them) → assembly."""
+    from ..trace.path import _trace_path_hybrid_impl
+    k_jit, k_trace = jax.random.split(key)
+    origins, dirs = _camera_bundle(
+        k_jit, width=width, height=height, spp=spp, fov=fov,
+        camera_position=camera_position)
+    rgb, stats = _trace_path_hybrid_impl(
+        origins, dirs, k_trace, g_params, max_bounces=max_bounces,
+        mirror_threshold=mirror_threshold, background=background,
+        guide_fn=guide_fn, g_apply=g_apply, g_dtype=g_dtype,
+        fb_prob=fb_prob, collect_stats=collect_stats, spec=spec,
+        emissive_idx=emissive_idx, no_diffuse=no_diffuse, fast=fast,
+        interpret=interpret)
+    img = _assemble(rgb, spp=spp, height=height, width=width)
+    return img, stats
+
+
 def _render_path_chunked(scene, key, *, width, height, spp_chunk, chunks,
                          max_bounces, fov, camera_position, mirror_threshold,
                          background, guide_fn, fb_prob, collect_stats,
@@ -286,6 +315,26 @@ def render_path(scene: Scene, key: jax.Array, *, width: int, height: int,
             emissive_idx=emissive_indices(scene), no_diffuse=no_diff,
             fast=fast, spec=spec,
             guide_spec=None if no_diff else gspec, fb_prob=fb_prob,
+            interpret=jax.default_backend() != "tpu")
+    if impl == "hybrid":
+        if spp_chunk is not None:
+            raise ValueError("impl='hybrid' traces the full wavefront; "
+                             "spp_chunk applies to impl='fused'")
+        spec = scene_spec(scene)
+        if spec is None:
+            raise ValueError("impl='hybrid' requires a concrete scene "
+                             "(scene_spec)")
+        from ..trace.path import call_with_split_guide as _cwsg
+        return _cwsg(
+            _render_path_hybrid_jit, guide_fn, key,
+            width=width, height=height, spp=spp, max_bounces=max_bounces,
+            fov=fov, camera_position=cam,
+            mirror_threshold=mirror_threshold,
+            background=tuple(float(b) for b in background),
+            collect_stats=collect_stats,
+            emissive_idx=emissive_indices(scene),
+            no_diffuse=no_diffuse_possible(scene, mirror_threshold),
+            fast=fast, spec=spec, fb_prob=fb_prob,
             interpret=jax.default_backend() != "tpu")
     if spp_chunk is not None and spp_chunk < spp:
         if impl != "fused":

@@ -243,6 +243,13 @@ def trace_path(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,
                                   background=background, guide_fn=guide_fn,
                                   collect_stats=collect_stats, fast=fast,
                                   fb_prob=fb_prob)
+    if impl == "hybrid":
+        return _trace_path_hybrid(scene, origins, dirs, key,
+                                  max_bounces=max_bounces,
+                                  mirror_threshold=mirror_threshold,
+                                  background=background, guide_fn=guide_fn,
+                                  fb_prob=fb_prob,
+                                  collect_stats=collect_stats, fast=fast)
     if impl != "fused":
         raise ValueError(f"unknown impl {impl!r}")
     return _trace_path_fused(scene, origins, dirs, key,
@@ -283,6 +290,170 @@ def _trace_path_pallas(scene, origins, dirs, key, *, max_bounces,
         fast=fast, collect_stats=collect_stats,
         guide_spec=None if no_diff else gspec, fb_prob=fb_prob,
         interpret=jax.default_backend() != "tpu")
+
+
+def _trace_path_hybrid(scene, origins, dirs, key, *, max_bounces,
+                       mirror_threshold, background, guide_fn, fb_prob,
+                       collect_stats, fast):
+    """Level-split hybrid (core/pallas_path.py run_level_kernel): the
+    bounce levels run as Pallas kernels, the guide network runs between
+    them on the MXU, all in ONE jit — the measured answer to both the
+    in-kernel MLP's VPU cost and the XLA tracers' HBM-fused level
+    bodies.  Concrete scenes only; guided or unguided."""
+    spec = scene_spec(scene)
+    if spec is None:
+        raise ValueError("impl='hybrid' requires a concrete scene "
+                         "(scene_spec); traced scenes use the XLA impls")
+    return call_with_split_guide(
+        _trace_path_hybrid_impl, guide_fn, origins, dirs, key,
+        max_bounces=max_bounces, mirror_threshold=mirror_threshold,
+        background=tuple(float(b) for b in background), fb_prob=fb_prob,
+        collect_stats=collect_stats, spec=spec,
+        emissive_idx=emissive_indices(scene),
+        no_diffuse=no_diffuse_possible(scene, mirror_threshold), fast=fast,
+        interpret=jax.default_backend() != "tpu")
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "mirror_threshold",
+                                   "background", "guide_fn", "g_apply",
+                                   "g_dtype", "collect_stats", "spec",
+                                   "emissive_idx", "no_diffuse", "fast",
+                                   "interpret"))
+def _trace_path_hybrid_impl(origins, dirs, key, g_params, *,
+                            max_bounces, mirror_threshold, background,
+                            guide_fn=None, g_apply=None, g_dtype=None,
+                            fb_prob=1.0, collect_stats=True, spec=None,
+                            emissive_idx=None, no_diffuse=False,
+                            fast=False, interpret=False):
+    from ..core.pallas_path import run_level_kernel
+
+    dtype = jnp.float32
+    R = origins.shape[0]
+    bg = jnp.asarray(background, dtype)
+    d = vec.normalise_safe(dirs.astype(dtype))
+    guided = guide_fn is not None or g_apply is not None
+
+    def level(carry, inputs):
+        ox, oy, oz, dx, dy, dz, running = carry
+        k, subkey = inputs
+        if no_diffuse:
+            u0 = jnp.zeros((R,), dtype)
+            u1 = jnp.zeros((R,), dtype)
+        else:
+            k_diff, k_fb = jax.random.split(subkey)
+            u = jax.random.uniform(k_diff, (R, 2), dtype)
+            u0, u1 = u[:, 0], u[:, 1]
+        o = run_level_kernel(ox, oy, oz, dx, dy, dz, running, u0, u1,
+                             spec=spec, emissive_idx=emissive_idx,
+                             mirror_threshold=mirror_threshold, fast=fast,
+                             interpret=interpret)
+        emis = o["emis"] > 0.5
+        cont = o["cont"] > 0.5
+        mirror = o["mirror"] > 0.5
+        found = o["found"] > 0.5
+        diffuse = cont & ~mirror
+        dfx, dfy, dfz = o["cfx"], o["cfy"], o["cfz"]
+        if no_diffuse:
+            dfx, dfy, dfz = o["rlx"], o["rly"], o["rlz"]
+            use_fb = jnp.zeros((R,), bool)
+        elif guided:
+            use_fb = diffuse & (jax.random.uniform(k_fb, (R,), dtype)
+                                < fb_prob)
+            shp = (R,)
+            obs = jnp.concatenate([
+                jnp.stack([o["px"], o["py"], o["pz"]], -1),
+                jnp.stack([dx, dy, dz], -1),
+                jnp.stack([o["nx"], o["ny"], o["nz"]], -1),
+                o["refl"][..., None], o["transp"][..., None],
+                o["emitf"][..., None], o["ior"][..., None],
+                jnp.zeros(shp + (3,), dtype),
+                jnp.full(shp + (1,), k, dtype) / max_bounces,
+                jnp.zeros(shp + (1,), dtype),
+                (o["sid"] / 100.0)[..., None],
+                jnp.full(shp + (3,), 0.5, dtype),
+            ], axis=-1)
+            raw = (g_apply(g_params, obs, g_dtype) if g_apply is not None
+                   else guide_fn(obs))
+            action = jnp.clip(raw, -1.0, 1.0)
+            fbx, fby, fbz = sampling.fb_action_to_direction_c(
+                action, o["nx"], o["ny"], o["nz"], "renderer")
+            dfx = jnp.where(use_fb, fbx, dfx)
+            dfy = jnp.where(use_fb, fby, dfy)
+            dfz = jnp.where(use_fb, fbz, dfz)
+        else:
+            use_fb = jnp.zeros((R,), bool)
+
+        ox = jnp.where(cont, o["nox"], ox)
+        oy = jnp.where(cont, o["noy"], oy)
+        oz = jnp.where(cont, o["noz"], oz)
+        dx = jnp.where(cont, jnp.where(mirror, o["rlx"], dfx), dx)
+        dy = jnp.where(cont, jnp.where(mirror, o["rly"], dfy), dy)
+        dz = jnp.where(cont, jnp.where(mirror, o["rlz"], dfz), dz)
+
+        state = jnp.where(running,
+                          jnp.where(emis, _EMISSIVE,
+                                    jnp.where(cont, _CONT, _MISS)),
+                          _INACTIVE).astype(jnp.int8)
+        level_stats = (jnp.sum(running), jnp.sum(found), jnp.sum(emis),
+                       jnp.sum(found & (o["small"] > 0.5)),
+                       jnp.sum(use_fb))
+        out = (state, o["ar"], o["ag"], o["ab"], o["dr"], o["dg"], o["db"],
+               use_fb)
+        return (ox, oy, oz, dx, dy, dz, running & cont), (out, level_stats)
+
+    keys = jax.random.split(key, max_bounces)
+    running0 = jnp.ones((R,), bool)
+    carry0 = (origins[:, 0].astype(dtype), origins[:, 1].astype(dtype),
+              origins[:, 2].astype(dtype), d[:, 0], d[:, 1], d[:, 2],
+              running0)
+    (*_, still_running), (recs, stats_seq) = jax.lax.scan(
+        level, carry0, (jnp.arange(max_bounces, dtype=dtype), keys))
+
+    states, ars, ags, abs_, drs, dgs, dbs, fbms = recs
+
+    vr0 = jnp.full((R,), bg[0], dtype)
+    vg0 = jnp.full((R,), bg[1], dtype)
+    vb0 = jnp.full((R,), bg[2], dtype)
+
+    def fold(i, value):
+        vr, vg, vb = value
+        lvl = max_bounces - 1 - i
+        st = states[lvl]
+        cr = jnp.trunc(ars[lvl] * jnp.minimum(255.0, drs[lvl] + vr) / 255.0)
+        cg = jnp.trunc(ags[lvl] * jnp.minimum(255.0, dgs[lvl] + vg) / 255.0)
+        cb = jnp.trunc(abs_[lvl] * jnp.minimum(255.0, dbs[lvl] + vb) / 255.0)
+        is_cont = st == _CONT
+        is_emis = st == _EMISSIVE
+        is_miss = st == _MISS
+        vr = jnp.where(is_cont, cr, vr)
+        vg = jnp.where(is_cont, cg, vg)
+        vb = jnp.where(is_cont, cb, vb)
+        vr = jnp.where(is_emis, ars[lvl], vr)
+        vg = jnp.where(is_emis, ags[lvl], vg)
+        vb = jnp.where(is_emis, abs_[lvl], vb)
+        vr = jnp.where(is_miss, bg[0], vr)
+        vg = jnp.where(is_miss, bg[1], vg)
+        vb = jnp.where(is_miss, bg[2], vb)
+        return vr, vg, vb
+
+    vr, vg, vb = jax.lax.fori_loop(0, max_bounces, fold, (vr0, vg0, vb0))
+    rgb = jnp.stack([vr, vg, vb], -1)
+
+    if collect_stats:
+        total_rays = jnp.sum(stats_seq[0]) + jnp.sum(still_running)
+        term_emis = jnp.any(states == _EMISSIVE, axis=0)
+        stats = PathStats(
+            total_rays=total_rays,
+            total_intersections=jnp.sum(stats_seq[1]),
+            light_hits=jnp.sum(stats_seq[2]),
+            small_light_hits=jnp.sum(stats_seq[3]),
+            fb_used=jnp.sum(stats_seq[4]),
+            fb_success=jnp.sum(fbms & term_emis[None, :]),
+        )
+    else:
+        z = jnp.zeros((), jnp.int32)
+        stats = PathStats(z, z, z, z, z, z)
+    return rgb, stats
 
 
 def _trace_path_fused(scene: Scene, origins: jnp.ndarray, dirs: jnp.ndarray,

@@ -179,3 +179,42 @@ def test_pallas_guided_bf16_student_statistically_close():
     assert (f == q).mean() >= 0.9, (f == q).mean()
     hf, hp = int(st_f.light_hits), int(st_p.light_hits)
     assert hf > 0 and 0.9 <= hp / max(hf, 1) <= 1.12, (hp, hf)
+
+
+def test_hybrid_level_split_bit_exact_vs_fused():
+    """Level-split hybrid (pallas level kernels + XLA guide between them,
+    one jit): bit-exact vs fused in interpret mode for both the guided
+    (fb_prob=1, one-hot student) and unguided diffuse configs — the level
+    kernel reproduces the fused level body exactly and the guide runs as
+    the same XLA code fused uses.  (TPU wall: measured 390 ms at
+    800×600@8spp guided — a recorded NEGATIVE vs the whole-trace guided
+    kernel's 241.6 ms; kept as the equality-tested split-architecture
+    reference, see trace/path.py::_trace_path_hybrid.)"""
+    import numpy as np
+    from raytracer_tpu.fb.distill import DistilledGuide
+
+    scene = _lean_scene()
+    o, d = _rays(2600, seed=1)
+    key = jax.random.key(5)
+
+    k1 = np.zeros((22, 4), np.float32)
+    for j, c in enumerate((0, 1, 2, 6)):
+        k1[c, j] = 1.0
+    k2 = np.zeros((4, 2), np.float32)
+    k2[0, 0] = 1.0
+    k2[3, 1] = -1.0
+    params = {"Dense_0": {"kernel": jnp.asarray(k1),
+                          "bias": jnp.zeros((4,), jnp.float32)},
+              "Dense_1": {"kernel": jnp.asarray(k2),
+                          "bias": jnp.zeros((2,), jnp.float32)}}
+    guide = DistilledGuide(params, hidden=(4,)).as_guide_fn(dtype=None)
+
+    for kw in (dict(max_bounces=4, mirror_threshold=0.9, guide_fn=guide,
+                    fb_prob=1.0),
+               dict(max_bounces=4, mirror_threshold=0.9)):
+        rf, sf = trace_path(scene, o, d, key, impl="fused", **kw)
+        rh, sh = trace_path(scene, o, d, key, impl="hybrid", **kw)
+        np.testing.assert_array_equal(np.asarray(rh), np.asarray(rf))
+        for f in ("total_rays", "total_intersections", "light_hits",
+                  "small_light_hits", "fb_used", "fb_success"):
+            assert int(getattr(sh, f)) == int(getattr(sf, f)), f
