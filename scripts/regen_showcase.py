@@ -50,17 +50,19 @@ CONFIGS = {
              fb_samples_per_pixel=8, spp_chunk=8, impl="fused")),
     "complex_comparison_trained": (
         "complex", "fb_complex_distilled.npz",
-        dict(width=200, height=100, samples_per_pixel=8)),
+        dict(width=200, height=100, samples_per_pixel=8,
+             impl="fused", timing_iters=5)),
     "complex_matched_signal": (
         "complex", "fb_complex_distilled.npz",
         dict(width=800, height=600, samples_per_pixel=8,
-             fb_samples_per_pixel=2)),
+             fb_samples_per_pixel=2, impl="fused", timing_iters=5)),
     "cornell_heldout_generalist": (
         "cornell_box:1007", "fb_multi_scene_trained.npz",
         dict(width=200, height=100, samples_per_pixel=8, impl="fused")),
     "cornell_heldout_student": (
         "cornell_box:1007", "fb_cornell_distilled.npz",
-        dict(width=200, height=100, samples_per_pixel=8, impl="fused")),
+        dict(width=200, height=100, samples_per_pixel=8, impl="fused",
+             timing_iters=5)),
     # VERDICT r2 item 8: the held-out student at the DEPLOYMENT shape,
     # where compute dominates the dispatch floor.
     "cornell_heldout_student_800x600": (
